@@ -1,0 +1,213 @@
+"""Static-shape graph containers for TPU message passing.
+
+Replaces the reference's PyG ``Data`` objects and implicit DataLoader batching
+(reference: gnn_pressure_estimation/utils/DataLoader.py:28-37 builds a PyG graph
+template; train.py:302 batches via torch_geometric.loader.DataLoader).
+
+TPU-first design decisions:
+
+- All shapes are **static**. A :class:`GraphTemplate` is a host-side (NumPy)
+  description of one network topology; a :class:`BatchedGraph` is the
+  device-side disjoint union of ``B`` copies of one template (homogeneous
+  batching). Mixing topologies is handled by bucketing at the loader level, so
+  XLA sees one compiled shape per (template, batch) bucket.
+- Directed edge lists are **receiver-sorted**, so every aggregation lowers to
+  ``segment_sum(..., indices_are_sorted=True)`` or a Pallas CSR kernel. Row
+  offsets (CSR) are carried alongside COO for kernels that want them.
+- Self-loop-augmented edge lists are precomputed once per template (PyG's
+  GATConv/GCNConv add self-loops per forward call at runtime; reference model
+  GraphModels.py:458 relies on that default). Here it is free metadata.
+- Per-edge normalization constants (GCN symmetric norm, Chebyshev scaled
+  Laplacian) are template constants, computed once on host.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import numpy as np
+import jax.numpy as jnp
+
+
+def _sort_by_receiver(senders: np.ndarray, receivers: np.ndarray):
+    order = np.argsort(receivers, kind="stable")
+    return senders[order], receivers[order], order
+
+
+class GraphTemplate:
+    """Host-side immutable topology of one water network graph.
+
+    Parameters
+    ----------
+    n_node:
+        Number of nodes kept after node-type removal (reference
+        DataLoader.py:40-58 ``get_keep_list``).
+    senders / receivers:
+        Directed edge list. For an undirected WDN both directions of each link
+        must be present (mirrors ``nx.Graph(...).to_undirected()`` +
+        ``pgu.from_networkx``, reference DataLoader.py:236 / utils/auxil.py:84).
+    edge_attr:
+        Optional ``[n_edge, d]`` per-directed-edge features (e.g. diameter,
+        length — reference DataLoader.py:219-232). Must be duplicated for both
+        directions by the caller.
+    """
+
+    def __init__(
+        self,
+        n_node: int,
+        senders: np.ndarray,
+        receivers: np.ndarray,
+        edge_attr: Optional[np.ndarray] = None,
+        node_names: Optional[list[str]] = None,
+        name: str = "graph",
+    ):
+        senders = np.asarray(senders, dtype=np.int32)
+        receivers = np.asarray(receivers, dtype=np.int32)
+        assert senders.shape == receivers.shape and senders.ndim == 1
+        if senders.size:
+            assert senders.max() < n_node and receivers.max() < n_node
+
+        s, r, order = _sort_by_receiver(senders, receivers)
+        self.name = name
+        self.n_node = int(n_node)
+        self.n_edge = int(senders.size)
+        self.senders = s
+        self.receivers = r
+        self.edge_attr = None if edge_attr is None else np.asarray(edge_attr, np.float32)[order]
+        self.node_names = node_names
+
+        # Self-loop-augmented edge list (receiver-sorted as well).
+        sl = np.arange(n_node, dtype=np.int32)
+        s_sl, r_sl, order_sl = _sort_by_receiver(
+            np.concatenate([s, sl]), np.concatenate([r, sl])
+        )
+        self.n_edge_sl = self.n_edge + self.n_node
+        self.senders_sl = s_sl
+        self.receivers_sl = r_sl
+        # Mark which augmented edges are the added self-loops (for layers that
+        # weight them differently).
+        is_sl = np.concatenate(
+            [np.zeros(self.n_edge, bool), np.ones(self.n_node, bool)]
+        )[order_sl]
+        self.selfloop_mask = is_sl
+
+        # In-degree without self-loops (SimpleConv mean aggregation,
+        # reference GraphModels.py:460,466).
+        deg = np.bincount(self.receivers, minlength=n_node).astype(np.float32)
+        self.in_degree = deg
+        with np.errstate(divide="ignore"):
+            inv = np.where(deg > 0, 1.0 / np.maximum(deg, 1.0), 0.0)
+        self.inv_degree = inv.astype(np.float32)
+
+        # GCN symmetric normalization over self-loop-augmented edges:
+        # w_ij = 1/sqrt((d_i+1)(d_j+1)).  (PyG gcn_norm with add_self_loops.)
+        deg_sl = deg + 1.0
+        dinv_sqrt = 1.0 / np.sqrt(deg_sl)
+        self.gcn_norm = (dinv_sqrt[s_sl] * dinv_sqrt[r_sl]).astype(np.float32)
+
+        # Chebyshev scaled Laplacian, sym normalization, lambda_max = 2.0
+        # (PyG ChebConv default):  L~ = L_sym - I = -D^{-1/2} A D^{-1/2},
+        # i.e. off-diagonal edge weight -1/sqrt(d_i d_j) and zero diagonal.
+        with np.errstate(divide="ignore"):
+            dinv = np.where(deg > 0, 1.0 / np.sqrt(np.maximum(deg, 1.0)), 0.0)
+        self.cheb_norm = (-(dinv[s] * dinv[r])).astype(np.float32)
+
+        # CSR row offsets for receiver-sorted edges (per-node neighbor ranges).
+        self.row_offsets = np.concatenate(
+            [[0], np.cumsum(np.bincount(self.receivers, minlength=n_node))]
+        ).astype(np.int32)
+        self.row_offsets_sl = np.concatenate(
+            [[0], np.cumsum(np.bincount(self.receivers_sl, minlength=n_node))]
+        ).astype(np.int32)
+
+        self._batch_cache: dict[Any, "BatchedGraph"] = {}
+
+    @property
+    def max_degree(self) -> int:
+        return int(self.in_degree.max()) if self.n_node else 0
+
+    def batch(self, batch_size: int, edge_attr_override: Optional[np.ndarray] = None) -> "BatchedGraph":
+        """Disjoint union of ``batch_size`` copies of this template.
+
+        All index arrays stay receiver-sorted globally because graph ``g``'s
+        nodes occupy the contiguous id range ``[g*n, (g+1)*n)``.
+        """
+        key = (batch_size, edge_attr_override is None)
+        if key in self._batch_cache and edge_attr_override is None:
+            return self._batch_cache[key]
+
+        B, n, e = batch_size, self.n_node, self.n_edge
+        offs_n = (np.arange(B, dtype=np.int32) * n)[:, None]
+
+        senders = (self.senders[None, :] + offs_n).reshape(-1)
+        receivers = (self.receivers[None, :] + offs_n).reshape(-1)
+        senders_sl = (self.senders_sl[None, :] + offs_n).reshape(-1)
+        receivers_sl = (self.receivers_sl[None, :] + offs_n).reshape(-1)
+
+        ea = edge_attr_override if edge_attr_override is not None else self.edge_attr
+        edge_attr = None if ea is None else np.tile(np.asarray(ea, np.float32), (B, 1))
+
+        g = BatchedGraph(
+            senders=jnp.asarray(senders),
+            receivers=jnp.asarray(receivers),
+            senders_sl=jnp.asarray(senders_sl),
+            receivers_sl=jnp.asarray(receivers_sl),
+            inv_degree=jnp.asarray(np.tile(self.inv_degree, B)),
+            gcn_norm=jnp.asarray(np.tile(self.gcn_norm, B)),
+            cheb_norm=jnp.asarray(np.tile(self.cheb_norm, B)),
+            edge_attr=None if edge_attr is None else jnp.asarray(edge_attr),
+            node_graph_id=jnp.repeat(jnp.arange(B, dtype=jnp.int32), n),
+            n_node=B * n,
+            n_edge=B * e,
+            n_graph=B,
+            nodes_per_graph=n,
+        )
+        if edge_attr_override is None:
+            self._batch_cache[key] = g
+        return g
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=[
+        "senders",
+        "receivers",
+        "senders_sl",
+        "receivers_sl",
+        "inv_degree",
+        "gcn_norm",
+        "cheb_norm",
+        "edge_attr",
+        "node_graph_id",
+    ],
+    meta_fields=["n_node", "n_edge", "n_graph", "nodes_per_graph"],
+)
+@dataclasses.dataclass(frozen=True)
+class BatchedGraph:
+    """Device-side disjoint union of ``n_graph`` same-topology graphs.
+
+    ``senders``/``receivers`` exclude self-loops; ``*_sl`` variants include one
+    self-loop per node (receiver-sorted). Static metadata (``n_node`` etc.) is
+    part of the jit cache key, so one compilation serves every step.
+    """
+
+    senders: jax.Array
+    receivers: jax.Array
+    senders_sl: jax.Array
+    receivers_sl: jax.Array
+    inv_degree: jax.Array
+    gcn_norm: jax.Array
+    cheb_norm: jax.Array
+    edge_attr: Optional[jax.Array]
+    node_graph_id: jax.Array
+    n_node: int
+    n_edge: int
+    n_graph: int
+    nodes_per_graph: int
+
+    @property
+    def n_edge_sl(self) -> int:
+        return self.n_edge + self.n_node

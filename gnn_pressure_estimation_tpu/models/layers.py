@@ -1,0 +1,263 @@
+"""Graph conv layers as Flax modules over the framework's segment ops.
+
+Semantics mirror the PyG layers the reference stacks (GraphModels.py:3 imports
+GATConv, GINConv, ChebConv, GCN2Conv, SimpleConv) but the implementations are
+TPU-native: receiver-sorted COO + static-shape segment reductions, no
+MessagePassing machinery. Attention math matches PyG GATConv (LeakyReLU 0.2,
+self-loops added, per-receiver softmax).
+
+Parameter initialization uses glorot-uniform for conv weights and zeros for
+biases (PyG GATConv/ChebConv convention). Exact torch kaiming init of
+torch.nn.Linear is not reproduced — models here are trained from scratch.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from gnn_pressure_estimation_tpu.core.graph import BatchedGraph
+from gnn_pressure_estimation_tpu import ops
+
+glorot = nn.initializers.glorot_uniform()
+zeros = nn.initializers.zeros
+
+
+class GATConv(nn.Module):
+    """Graph attention conv (Velickovic et al.), PyG-compatible semantics.
+
+    Reference usage: GraphModels.py:458-459 (2-head concat → 1-head) inside
+    every GATRes block, and the plain GAT baseline (GraphModels.py:210-230).
+
+    out[i] = Σ_{j∈N(i)∪{i}} α_ij · (W x_j)  per head, heads concatenated or
+    averaged, plus bias. α = softmax_i(LeakyReLU(a_s·Wx_j + a_d·Wx_i)).
+    """
+
+    out_channels: int
+    heads: int = 1
+    concat: bool = True
+    negative_slope: float = 0.2
+    add_self_loops: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, graph: BatchedGraph) -> jax.Array:
+        H, C = self.heads, self.out_channels
+        w = self.param("w", glorot, (x.shape[-1], H * C), jnp.float32)
+        att_src = self.param("att_src", glorot, (1, H, C), jnp.float32)
+        att_dst = self.param("att_dst", glorot, (1, H, C), jnp.float32)
+        bias = self.param("bias", zeros, (H * C if self.concat else C,), jnp.float32)
+
+        if self.add_self_loops:
+            senders, receivers = graph.senders_sl, graph.receivers_sl
+        else:
+            senders, receivers = graph.senders, graph.receivers
+
+        xp = (x.astype(self.dtype) @ w.astype(self.dtype)).reshape(-1, H, C)
+        # Per-node attention logit halves (SDDMM against the attention vectors
+        # collapses to one [N,H] reduction each because a_s/a_d are rank-1).
+        alpha_src = jnp.sum(xp * att_src.astype(self.dtype), axis=-1)  # [N, H]
+        alpha_dst = jnp.sum(xp * att_dst.astype(self.dtype), axis=-1)  # [N, H]
+
+        logits = ops.gather(alpha_src, senders) + ops.gather(alpha_dst, receivers)
+        logits = nn.leaky_relu(logits, self.negative_slope)
+        alpha = ops.segment_softmax(
+            logits.astype(jnp.float32), receivers, graph.n_node
+        ).astype(self.dtype)  # [E, H]
+
+        out = ops.spmm(xp, senders, receivers, graph.n_node, edge_weight=alpha)
+        if self.concat:
+            out = out.reshape(-1, H * C)
+        else:
+            out = out.mean(axis=1)
+        return (out + bias.astype(self.dtype)).astype(jnp.float32)
+
+
+class SimpleMeanConv(nn.Module):
+    """Parameter-free neighbor mean, PyG ``SimpleConv(aggr='mean')``.
+
+    Reference: GraphModels.py:460,466 — no self-loops, mean over in-neighbors.
+    Uses the template's precomputed inverse degree (no runtime division tree).
+    """
+
+    @nn.compact
+    def __call__(self, x: jax.Array, graph: BatchedGraph) -> jax.Array:
+        agg = ops.spmm(x, graph.senders, graph.receivers, graph.n_node)
+        return agg * graph.inv_degree[:, None]
+
+
+class GCNConv(nn.Module):
+    """GCN conv with symmetric normalization and self-loops."""
+
+    out_channels: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array, graph: BatchedGraph) -> jax.Array:
+        w = self.param("w", glorot, (x.shape[-1], self.out_channels), jnp.float32)
+        xp = x @ w
+        out = ops.spmm(
+            xp, graph.senders_sl, graph.receivers_sl, graph.n_node,
+            edge_weight=graph.gcn_norm,
+        )
+        if self.use_bias:
+            out = out + self.param("bias", zeros, (self.out_channels,), jnp.float32)
+        return out
+
+
+class GCN2Conv(nn.Module):
+    """GCNII layer (Chen et al. 2020), PyG ``GCN2Conv`` with shared weights.
+
+    Reference baseline: GraphModels.py:188-208 (alpha=0.1, theta=0.5, 64 layers).
+    H = (1-α)·Â x + α·x0 ;  out = (1-β)·H + β·(H W),  β = log(θ/ℓ + 1).
+    """
+
+    channels: int
+    alpha: float = 0.1
+    theta: float = 0.5
+    layer_index: int = 1
+
+    @nn.compact
+    def __call__(self, x: jax.Array, x0: jax.Array, graph: BatchedGraph) -> jax.Array:
+        import math
+
+        w = self.param("w", glorot, (self.channels, self.channels), jnp.float32)
+        beta = math.log(self.theta / self.layer_index + 1.0)
+        hx = ops.spmm(
+            x, graph.senders_sl, graph.receivers_sl, graph.n_node,
+            edge_weight=graph.gcn_norm,
+        )
+        h = (1.0 - self.alpha) * hx + self.alpha * x0
+        return (1.0 - beta) * h + beta * (h @ w)
+
+
+class ChebConv(nn.Module):
+    """Chebyshev spectral conv, PyG ``ChebConv`` (sym norm, lambda_max=2).
+
+    With λmax=2 the scaled Laplacian collapses to L~ = -D^{-1/2} A D^{-1/2}
+    (zero diagonal), precomputed per template as ``graph.cheb_norm``.
+    T0 = x, T1 = L~ x, Tk = 2 L~ T(k-1) - T(k-2); out = Σ Tk Wk (+ bias).
+    Reference baselines: GraphConvWat (K=240/120/20/1) and tuned ChebNet
+    (GraphModels.py:154-184).
+    """
+
+    out_channels: int
+    K: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array, graph: BatchedGraph) -> jax.Array:
+        in_c = x.shape[-1]
+        w = self.param("w", glorot, (self.K, in_c, self.out_channels), jnp.float32)
+
+        def lap(v):
+            return ops.spmm(
+                v, graph.senders, graph.receivers, graph.n_node,
+                edge_weight=graph.cheb_norm,
+            )
+
+        tx_prev, out = x, x @ w[0]
+        if self.K > 1:
+            tx = lap(x)
+            out = out + tx @ w[1]
+            for k in range(2, self.K):
+                tx_next = 2.0 * lap(tx) - tx_prev
+                out = out + tx_next @ w[k]
+                tx_prev, tx = tx, tx_next
+        if self.use_bias:
+            out = out + self.param("bias", zeros, (self.out_channels,), jnp.float32)
+        return out
+
+
+class MLP(nn.Module):
+    """Linear stack with SELU between hidden layers (reference custom MLP,
+    GraphModels.py:265-275 — note it shadows PyG's MLP for GIN too)."""
+
+    dims: tuple
+    use_bias: bool = True
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jax.Array, training: bool = False) -> jax.Array:
+        n = len(self.dims)
+        for i, d in enumerate(self.dims):
+            x = nn.Dense(d, use_bias=self.use_bias, kernel_init=glorot)(x)
+            if i < n - 1:
+                x = nn.selu(x)
+                if self.dropout > 0:
+                    x = nn.Dropout(self.dropout, deterministic=not training)(x)
+        return x
+
+
+class GINConv(nn.Module):
+    """GIN conv: ``nn((1+eps)·x + Σ_j x_j)`` (no self-loops).
+
+    Reference: GraphModels.py:242-248 with eps=0 and the SELU MLP
+    ``[in, nc//2, nc]`` (bottleneck), or a bias-free Linear on the last block.
+    """
+
+    mlp_dims: Optional[tuple] = None
+    linear_out: Optional[int] = None
+    eps: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jax.Array, graph: BatchedGraph, training: bool = False) -> jax.Array:
+        agg = ops.spmm(x, graph.senders, graph.receivers, graph.n_node)
+        h = (1.0 + self.eps) * x + agg
+        if self.mlp_dims is not None:
+            return MLP(self.mlp_dims)(h, training)
+        return nn.Dense(self.linear_out, use_bias=False, kernel_init=glorot)(h)
+
+
+class GENConv(nn.Module):
+    """m_GCN's custom GENConvolution (reference GraphModels.py:277-397).
+
+    message  = selu(concat(x_j, e_ij)) + eps            (eps = 1e-7)
+    e_ij     = edge_emb + |x_src - x_dst|               (GraphModels.py:358-361)
+    latent   = Σ_j message  (add aggregation)
+    latent   = res(latent)            [mlp=True]  or tanh(res(latent)) [mlp=False]
+    latent  += x_i                    (residual)
+    latent   = MLP(latent)            [mlp=True only]
+    """
+
+    latent_dim: int
+    use_bias: bool = False
+    num_layers: int = 2
+    eps: float = 1e-7
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        graph: BatchedGraph,
+        edge_emb: Optional[jax.Array],
+        mlp: bool = True,
+        residual: bool = True,
+        training: bool = False,
+    ) -> jax.Array:
+        d = self.latent_dim
+        if edge_emb is not None:
+            diff = jnp.abs(
+                ops.gather(x, graph.senders) - ops.gather(x, graph.receivers)
+            )
+            e = edge_emb + diff
+            msg = jnp.concatenate([ops.gather(x, graph.senders), e], axis=-1)
+        else:
+            msg = ops.gather(x, graph.senders)
+        msg = nn.selu(msg) + self.eps
+        latent = ops.segment_sum(msg, graph.receivers, graph.n_node)
+
+        res = nn.Dense(d, use_bias=self.use_bias, kernel_init=glorot, name="res")
+        latent = res(latent) if mlp else jnp.tanh(res(latent))
+        if residual:
+            latent = latent + x
+        if mlp:
+            dims = tuple([2 * d] * (self.num_layers - 1) + [d])
+            latent = MLP(dims, use_bias=self.use_bias, dropout=self.dropout, name="mlp")(
+                latent, training
+            )
+        return latent

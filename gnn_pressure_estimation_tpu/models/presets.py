@@ -1,0 +1,84 @@
+"""Model presets — name → (constructor, training-config overrides).
+
+Replaces the reference's ``ConfigModels.select_model`` dispatch
+(ConfigModels.py:133-178). Each preset carries the model hyperparameters plus
+the criterion / normalization / edge-attribute contract that the reference
+presets force onto the CLI args (ConfigModels.py:26-28 etc.). Precedence is
+explicit here: preset values fill a typed config, and user-provided overrides
+win (the reference silently overwrote user CLI values — SURVEY.md §5 quirk).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import flax.linen as nn
+
+from gnn_pressure_estimation_tpu.models.gatres import GATRes
+from gnn_pressure_estimation_tpu.models.zoo import (
+    GIN,
+    GAT,
+    GCN2,
+    ChebNet,
+    GraphConvWat,
+    MGCN,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelPreset:
+    name: str
+    build: Callable[[], nn.Module]
+    criterion: str = "mse"          # mse | mae | sce
+    norm_type: str = "znorm"        # znorm | minmax | unused
+    edge_attrs: Optional[tuple] = None  # e.g. ("diameter", "length")
+
+    def make(self) -> nn.Module:
+        return self.build()
+
+
+MODEL_REGISTRY: dict[str, ModelPreset] = {
+    "gatres_small": ModelPreset(
+        "gatres_small", lambda: GATRes(num_blocks=15, channels=32),
+        criterion="mse", norm_type="znorm",
+    ),
+    "gatres_large": ModelPreset(
+        "gatres_large", lambda: GATRes(num_blocks=25, channels=128),
+        criterion="mse", norm_type="znorm",
+    ),
+    "gin": ModelPreset(
+        "gin", lambda: GIN(num_blocks=15, channels=32),
+        criterion="mse", norm_type="znorm",
+    ),
+    "graphconvwat": ModelPreset(
+        "graphconvwat", lambda: GraphConvWat(),
+        criterion="mse", norm_type="minmax",
+    ),
+    "chebnet": ModelPreset(
+        "chebnet", lambda: ChebNet(channels=32),
+        criterion="mse", norm_type="znorm",
+    ),
+    "mgcn": ModelPreset(
+        "mgcn",
+        lambda: MGCN(latent_dim=96, n_aggr=45, n_hops=1, num_layers=2, edge_dim=2),
+        criterion="mae", norm_type="minmax", edge_attrs=("diameter", "length"),
+    ),
+    "gcn2": ModelPreset(
+        "gcn2", lambda: GCN2(num_blocks=64, channels=32),
+        criterion="mse", norm_type="znorm",
+    ),
+    "gat": ModelPreset(
+        "gat", lambda: GAT(num_blocks=10, channels=32),
+        criterion="mse", norm_type="znorm",
+    ),
+}
+
+
+def select_model(name: str) -> tuple[nn.Module, ModelPreset]:
+    if name not in MODEL_REGISTRY:
+        raise KeyError(
+            f"unknown model '{name}'; available: {sorted(MODEL_REGISTRY)}"
+        )
+    preset = MODEL_REGISTRY[name]
+    return preset.make(), preset

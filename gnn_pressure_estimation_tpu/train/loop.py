@@ -1,0 +1,353 @@
+"""Jitted training / validation loop for masked-node pressure reconstruction.
+
+Reference parity (train.py:112-533) with a TPU-first redesign:
+
+- The entire step — mask draw, input zeroing, forward, masked loss, backward,
+  AutoClip, Adam update, descaled metrics — is **one jitted function**; the
+  reference regenerates masks with host NumPy and syncs every batch
+  (train.py:171-183).
+- The masked-node count is static (``int(n * mask_rate)`` per graph), so
+  masked gathers have static shapes and XLA compiles a single program per
+  (template, batch-size) bucket.
+- Optimizer: Adam with torch-style L2 weight decay (grad += wd·param before
+  the moment update — torch.optim.Adam semantics, train.py:348) behind
+  ``optax.inject_hyperparams`` so ReduceLROnPlateau can anneal the lr without
+  rebuilding state.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import time
+from functools import partial
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import flax.linen as nn
+
+from gnn_pressure_estimation_tpu.core.graph import BatchedGraph, GraphTemplate
+from gnn_pressure_estimation_tpu.data.dataset import WDNDataset, SnapshotLoader
+from gnn_pressure_estimation_tpu.train.autoclip import autoclip
+from gnn_pressure_estimation_tpu.train.early_stopping import EarlyStopping
+from gnn_pressure_estimation_tpu.train.checkpoint import save_checkpoint
+from gnn_pressure_estimation_tpu.utils import metrics as metrics_mod
+from gnn_pressure_estimation_tpu.utils.masking import batch_node_mask, masked_count
+from gnn_pressure_estimation_tpu.utils.scaling import NormStats, descale_with
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    """The reference's training flag surface (train.py:541-648) as a typed
+    config."""
+
+    lr: float = 5e-4
+    weight_decay: float = 6e-6
+    epochs: int = 500
+    mask_rate: float = 0.95
+    batch_size: int = 8
+    criterion: str = "mse"           # mse | mae | sce
+    norm_type: str = "znorm"
+    patience: int = 100
+    min_delta: float = 1e-4
+    scheduler: Optional[str] = None  # None | "ReduceLROnPlateau"
+    scheduler_patience: int = 2
+    scheduler_factor: float = 0.1
+    use_gradient_clipping: bool = False
+    clip_percentile: float = 10.0
+    seed: int = 42
+    save_path: Optional[str] = None
+    model_name: str = "model"
+    variant: str = ""
+    log_every: int = 5
+    # TPU knobs (no reference analog)
+    matmul_precision: Optional[str] = None  # None | "bfloat16" | "highest"
+    donate_state: bool = True
+
+
+def make_criterion(name: str) -> Callable:
+    """Loss on *scaled* masked values (reference train.py:354-368)."""
+    if name == "mse":
+        return lambda p, t: jnp.mean((p - t) ** 2)
+    if name == "mae":
+        return lambda p, t: jnp.mean(jnp.abs(p - t))
+    if name == "sce":
+        def sce(p, t, alpha=3.0):
+            pn = p / jnp.maximum(jnp.linalg.norm(p, axis=-1, keepdims=True), 1e-12)
+            tn = t / jnp.maximum(jnp.linalg.norm(t, axis=-1, keepdims=True), 1e-12)
+            return jnp.mean((1.0 - jnp.sum(pn * tn, axis=-1)) ** alpha)
+        return sce
+    raise KeyError(f"criterion {name!r} is not supported")
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    parts = []
+    if cfg.use_gradient_clipping:
+        parts.append(autoclip(cfg.clip_percentile))
+    if cfg.weight_decay:
+        parts.append(optax.add_decayed_weights(cfg.weight_decay))
+    parts.append(optax.scale_by_adam())
+    inner = optax.chain(*parts) if parts else optax.identity()
+    lr_part = optax.inject_hyperparams(
+        lambda learning_rate: optax.scale_by_learning_rate(learning_rate)
+    )(learning_rate=cfg.lr)
+    return optax.chain(inner, lr_part)
+
+
+def get_lr(opt_state) -> float:
+    return float(opt_state[-1].hyperparams["learning_rate"])
+
+
+def set_lr(opt_state, lr: float):
+    opt_state[-1].hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+    return opt_state
+
+
+class ReduceLROnPlateau:
+    """torch.optim.lr_scheduler.ReduceLROnPlateau semantics (mode=min,
+    rel threshold 1e-4, factor, patience) — reference train.py:349-350."""
+
+    def __init__(self, patience: int = 2, factor: float = 0.1,
+                 threshold: float = 1e-4, min_lr: float = 0.0):
+        self.patience = patience
+        self.factor = factor
+        self.threshold = threshold
+        self.min_lr = min_lr
+        self.best = math.inf
+        self.num_bad = 0
+
+    def step(self, metric: float, lr: float) -> float:
+        metric = float(metric)
+        if metric < self.best * (1.0 - self.threshold):
+            self.best = metric
+            self.num_bad = 0
+        else:
+            self.num_bad += 1
+        if self.num_bad > self.patience:
+            self.num_bad = 0
+            return max(lr * self.factor, self.min_lr)
+        return lr
+
+
+class Trainer:
+    """Drives train/val epochs over a :class:`WDNDataset`.
+
+    One jitted step function is compiled per (template, batch-size) bucket and
+    cached for the whole run.
+    """
+
+    def __init__(
+        self,
+        model: nn.Module,
+        cfg: TrainConfig,
+        stats: NormStats,
+        sample_template: GraphTemplate,
+        required_mask_idx: tuple = (),
+    ):
+        self.model = model
+        self.cfg = cfg
+        self.stats = stats
+        self.criterion = make_criterion(cfg.criterion)
+        self.tx = make_optimizer(cfg)
+        self.required_mask_idx = tuple(required_mask_idx)
+        self._train_step_cache: dict = {}
+        self._eval_step_cache: dict = {}
+        self._graph_cache: dict = {}
+
+        g = sample_template.batch(1)
+        x0 = jnp.zeros((g.n_node, 1), jnp.float32)
+        self.params = self.model.init(jax.random.PRNGKey(cfg.seed), x0, g)
+        self.opt_state = self.tx.init(self.params)
+        self.n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(self.params))
+
+    # ------------------------------------------------------------------
+    def _batched_graph(self, template: GraphTemplate, bs: int) -> BatchedGraph:
+        key = (id(template), bs)
+        if key not in self._graph_cache:
+            self._graph_cache[key] = template.batch(bs)
+        return self._graph_cache[key]
+
+    def _masked_loss_and_metrics(self, params, graph, x, y, mask, n_masked, prefix):
+        x_in = jnp.where(mask[:, None], 0.0, x)
+        out = self.model.apply(params, x_in, graph, training=(prefix == "train"))
+        (midx,) = jnp.nonzero(mask, size=n_masked)
+        yp, yt = out[midx], y[midx]
+        loss = self.criterion(yp, yt)
+        st = self.stats
+        yp_r = descale_with(yp, st)
+        yt_r = descale_with(yt, st)
+        mets = metrics_mod.compute_all(yp_r, yt_r, prefix)
+        return loss, mets, out
+
+    def _get_train_step(self, template: GraphTemplate, bs: int):
+        key = (id(template), bs)
+        if key in self._train_step_cache:
+            return self._train_step_cache[key]
+        graph = self._batched_graph(template, bs)
+        n = template.n_node
+        k = masked_count(n, self.cfg.mask_rate)
+        n_masked = bs * k
+
+        donate = (0, 1) if self.cfg.donate_state else ()
+
+        @partial(jax.jit, donate_argnums=donate)
+        def step(params, opt_state, x, y, key_):
+            mask = batch_node_mask(key_, bs, n, self.cfg.mask_rate)
+
+            def loss_fn(p):
+                loss, mets, _ = self._masked_loss_and_metrics(
+                    p, graph, x, y, mask, n_masked, "train"
+                )
+                return loss, mets
+
+            (loss, mets), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, opt_state2 = self.tx.update(grads, opt_state, params)
+            params2 = optax.apply_updates(params, updates)
+            return params2, opt_state2, loss, mets
+
+        self._train_step_cache[key] = step
+        return step
+
+    def _get_eval_step(self, template: GraphTemplate, bs: int, prefix: str = "val"):
+        key = (id(template), bs, prefix, self.required_mask_idx)
+        if key in self._eval_step_cache:
+            return self._eval_step_cache[key]
+        graph = self._batched_graph(template, bs)
+        n = template.n_node
+        k = masked_count(n, self.cfg.mask_rate)
+        n_masked = bs * k
+        req = self.required_mask_idx
+
+        @jax.jit
+        def step(params, x, y, key_):
+            mask = batch_node_mask(key_, bs, n, self.cfg.mask_rate, required_idx=req)
+            loss, mets, out = self._masked_loss_and_metrics(
+                params, graph, x, y, mask, n_masked, prefix
+            )
+            return loss, mets, out, mask
+
+        self._eval_step_cache[key] = step
+        return step
+
+    # ------------------------------------------------------------------
+    def train_one_epoch(self, loader: SnapshotLoader, rng: np.random.Generator):
+        total_loss, total_graphs = 0.0, 0
+        sums: dict[str, float] = {}
+        for template, xb, _ in loader:
+            bs = xb.shape[0]
+            x = jnp.asarray(xb.reshape(-1, 1))
+            y = x
+            step = self._get_train_step(template, bs)
+            key = jax.random.PRNGKey(int(rng.integers(0, 2**31 - 1)))
+            self.params, self.opt_state, loss, mets = step(
+                self.params, self.opt_state, x, y, key
+            )
+            total_loss += float(loss) * bs
+            total_graphs += bs
+            for mk, mv in mets.items():
+                sums[mk] = sums.get(mk, 0.0) + float(mv) * bs
+        n = max(total_graphs, 1)
+        return total_loss / n, {mk: v / n for mk, v in sums.items()}
+
+    def eval_one_epoch(self, loader: SnapshotLoader, rng: np.random.Generator,
+                       prefix: str = "val"):
+        total_loss, total_graphs = 0.0, 0
+        sums: dict[str, float] = {}
+        for template, xb, _ in loader:
+            bs = xb.shape[0]
+            x = jnp.asarray(xb.reshape(-1, 1))
+            step = self._get_eval_step(template, bs, prefix)
+            key = jax.random.PRNGKey(int(rng.integers(0, 2**31 - 1)))
+            loss, mets, _, _ = step(self.params, x, x, key)
+            total_loss += float(loss) * bs
+            total_graphs += bs
+            for mk, mv in mets.items():
+                sums[mk] = sums.get(mk, 0.0) + float(mv) * bs
+        n = max(total_graphs, 1)
+        return total_loss / n, {mk: v / n for mk, v in sums.items()}
+
+    # ------------------------------------------------------------------
+    def fit(
+        self,
+        train_ds: WDNDataset,
+        val_ds: WDNDataset,
+        log_fn: Callable[[str], None] = print,
+        on_epoch_end: Optional[Callable[[int, dict], None]] = None,
+    ) -> dict:
+        cfg = self.cfg
+        train_loader = SnapshotLoader(
+            train_ds, cfg.batch_size, shuffle=True, seed=cfg.seed
+        )
+        val_loader = SnapshotLoader(val_ds, cfg.batch_size, shuffle=False)
+        rng = np.random.default_rng(cfg.seed)
+
+        early = EarlyStopping(mode="min", min_delta=cfg.min_delta, patience=cfg.patience)
+        sched = (
+            ReduceLROnPlateau(cfg.scheduler_patience, cfg.scheduler_factor)
+            if cfg.scheduler == "ReduceLROnPlateau"
+            else None
+        )
+
+        best = {"loss": math.inf, "epoch": 0, "metrics": {}}
+        t0 = time.time()
+        for epoch in range(1, cfg.epochs + 1):
+            tr_loss, tr_mets = self.train_one_epoch(train_loader, rng)
+            val_loss, val_mets = self.eval_one_epoch(val_loader, rng)
+
+            if val_loss < best["loss"]:
+                best = {"loss": val_loss, "epoch": epoch, "metrics": val_mets}
+                if cfg.save_path:
+                    save_checkpoint(
+                        path=self._ckpt_path("best"),
+                        params=self.params,
+                        opt_state=self.opt_state,
+                        epoch=epoch,
+                        loss=val_loss,
+                        metrics=val_mets,
+                        stats=self.stats,
+                    )
+
+            if epoch == 1 or epoch % cfg.log_every == 0:
+                mstr = ", ".join(f"{mk}: {mv:.4f}" for mk, mv in val_mets.items())
+                log_fn(
+                    f"Epoch: {epoch:03d}, train loss: {tr_loss:.4f}, "
+                    f"val_loss: {val_loss:.4f}, {mstr}"
+                )
+                if cfg.save_path and not math.isnan(tr_loss):
+                    save_checkpoint(
+                        path=self._ckpt_path("last"),
+                        params=self.params,
+                        opt_state=self.opt_state,
+                        epoch=epoch,
+                        loss=val_loss,
+                        metrics=val_mets,
+                        stats=self.stats,
+                    )
+
+            if on_epoch_end:
+                on_epoch_end(epoch, {
+                    "train_loss": tr_loss, "val_loss": val_loss,
+                    **tr_mets, **val_mets,
+                })
+
+            if early.step(val_loss):
+                log_fn(f"\n!! No improvement for {cfg.patience} epochs. Training stopped!")
+                break
+            if sched is not None:
+                new_lr = sched.step(val_loss, get_lr(self.opt_state))
+                if new_lr != get_lr(self.opt_state):
+                    self.opt_state = set_lr(self.opt_state, new_lr)
+
+        best["train_time_s"] = time.time() - t0
+        return best
+
+    def _ckpt_path(self, kind: str) -> str:
+        import os
+
+        name = f"{kind}_{self.cfg.model_name}"
+        if self.cfg.variant:
+            name += f"_{self.cfg.variant}"
+        return os.path.join(self.cfg.save_path, name + ".ckpt")

@@ -1,0 +1,56 @@
+"""Random node masking — inside the jitted step, not host-side NumPy.
+
+The reference regenerates masks on the host every batch with per-graph
+``np.random.choice`` (auxil.py:143-182, called from train.py:172), forcing a
+host sync per step. Here the mask is drawn with ``jax.random`` inside jit:
+per graph, exactly ``k = int(n * mask_rate)`` nodes are masked, with an
+optional set of always-masked sensor indices (evaluation harness,
+reference evaluation.py:289). ``k`` is static, so downstream masked gathers
+have static shapes.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def masked_count(num_nodes: int, mask_rate: float) -> int:
+    """Number of masked nodes per graph (reference auxil.py:154,161:
+    ``int(num_nodes * masking_rate)``, required idx included in the count)."""
+    k = int(num_nodes * mask_rate)
+    if k <= 0:
+        raise ValueError(
+            f"mask_rate {mask_rate} masks 0 of {num_nodes} nodes"
+        )
+    return k
+
+
+def batch_node_mask(
+    key: jax.Array,
+    n_graph: int,
+    nodes_per_graph: int,
+    mask_rate: float,
+    required_idx: Optional[Sequence[int]] = None,
+    shared: bool = False,
+) -> jax.Array:
+    """Draw a ``[n_graph * nodes_per_graph]`` boolean mask, True = masked.
+
+    ``shared=True`` draws one mask and broadcasts it to all graphs in the
+    batch (reference evaluation's ``use_same_mask``, evaluation.py:283-300).
+    ``required_idx`` nodes are always masked (sensors-only scoring).
+    """
+    n, k = nodes_per_graph, masked_count(nodes_per_graph, mask_rate)
+    rows = 1 if shared else n_graph
+    u = jax.random.uniform(key, (rows, n))
+    if required_idx is not None and len(required_idx):
+        req = jnp.asarray(np.asarray(required_idx, np.int32))
+        u = u.at[:, req].set(-1.0)  # sort first → always masked
+    ranks = jnp.argsort(jnp.argsort(u, axis=1), axis=1)
+    mask = ranks < k
+    if shared:
+        mask = jnp.broadcast_to(mask, (n_graph, n))
+    return mask.reshape(-1)

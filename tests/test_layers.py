@@ -1,0 +1,96 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gnn_pressure_estimation_tpu.models import layers
+from helpers import random_graph, dense_adj, dense_gat, dense_cheb
+
+
+def test_gatconv_matches_dense_oracle(rng):
+    tpl = random_graph(rng, n=15, extra_edges=8)
+    g = tpl.batch(1)
+    x = rng.standard_normal((15, 6)).astype(np.float32)
+    for heads, concat in [(2, True), (1, False), (3, False)]:
+        layer = layers.GATConv(out_channels=4, heads=heads, concat=concat)
+        params = layer.init(jax.random.PRNGKey(0), jnp.asarray(x), g)
+        out = layer.apply(params, jnp.asarray(x), g)
+        p = params["params"]
+        expect = dense_gat(
+            x.astype(np.float64),
+            tpl,
+            np.asarray(p["w"], np.float64),
+            np.asarray(p["att_src"], np.float64),
+            np.asarray(p["att_dst"], np.float64),
+            np.asarray(p["bias"], np.float64),
+            heads,
+            concat,
+        )
+        np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-4, atol=1e-4)
+
+
+def test_mean_conv(rng):
+    tpl = random_graph(rng, n=12, extra_edges=5)
+    g = tpl.batch(2)
+    x = rng.standard_normal((24, 3)).astype(np.float32)
+    out = layers.SimpleMeanConv().apply({}, jnp.asarray(x), g)
+    A = dense_adj(tpl)
+    deg = np.maximum(A.sum(1, keepdims=True), 1)
+    for b in range(2):
+        expect = (A @ x[b * 12 : (b + 1) * 12]) / deg
+        np.testing.assert_allclose(
+            np.asarray(out)[b * 12 : (b + 1) * 12], expect, rtol=1e-5, atol=1e-5
+        )
+
+
+def test_chebconv_matches_dense_oracle(rng):
+    tpl = random_graph(rng, n=14, extra_edges=6)
+    g = tpl.batch(1)
+    x = rng.standard_normal((14, 5)).astype(np.float32)
+    layer = layers.ChebConv(out_channels=3, K=4)
+    params = layer.init(jax.random.PRNGKey(1), jnp.asarray(x), g)
+    out = layer.apply(params, jnp.asarray(x), g)
+    p = params["params"]
+    expect = dense_cheb(
+        x.astype(np.float64), tpl,
+        np.asarray(p["w"], np.float64), np.asarray(p["bias"], np.float64),
+    )
+    np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-4, atol=1e-4)
+
+
+def test_gcn2conv_formula(rng):
+    tpl = random_graph(rng, n=10, extra_edges=4)
+    g = tpl.batch(1)
+    nc = 4
+    x = rng.standard_normal((10, nc)).astype(np.float32)
+    x0 = rng.standard_normal((10, nc)).astype(np.float32)
+    layer = layers.GCN2Conv(channels=nc, alpha=0.1, theta=0.5, layer_index=3)
+    params = layer.init(jax.random.PRNGKey(2), jnp.asarray(x), jnp.asarray(x0), g)
+    out = layer.apply(params, jnp.asarray(x), jnp.asarray(x0), g)
+
+    import math
+    A = dense_adj(tpl, self_loops=True)
+    deg = A.sum(1)
+    dinv = 1 / np.sqrt(deg)
+    Ahat = dinv[:, None] * A * dinv[None, :]
+    h = 0.9 * (Ahat @ x) + 0.1 * x0
+    beta = math.log(0.5 / 3 + 1)
+    expect = (1 - beta) * h + beta * (h @ np.asarray(params["params"]["w"]))
+    np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-4, atol=1e-4)
+
+
+def test_ginconv_formula(rng):
+    tpl = random_graph(rng, n=9, extra_edges=3)
+    g = tpl.batch(1)
+    x = rng.standard_normal((9, 4)).astype(np.float32)
+    layer = layers.GINConv(mlp_dims=(2, 4))
+    params = layer.init(jax.random.PRNGKey(3), jnp.asarray(x), g)
+    out = layer.apply(params, jnp.asarray(x), g)
+    A = dense_adj(tpl)
+    h = x + A @ x  # eps=0
+    p = params["params"]["MLP_0"]
+    hidden = h @ np.asarray(p["Dense_0"]["kernel"]) + np.asarray(p["Dense_0"]["bias"])
+    # selu
+    a, s = 1.6732632423543772, 1.0507009873554805
+    hidden = s * np.where(hidden > 0, hidden, a * (np.exp(hidden) - 1))
+    expect = hidden @ np.asarray(p["Dense_1"]["kernel"]) + np.asarray(p["Dense_1"]["bias"])
+    np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-4, atol=1e-4)
