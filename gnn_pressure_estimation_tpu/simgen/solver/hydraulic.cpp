@@ -322,10 +322,18 @@ int hyd_solve(
     }
     relerr = sum_dq / std::max(sum_q, TINY_Q);
 
-    // status checks
+    // status checks — EPANET schedule: pumps/CVs every CheckFreq=2 while
+    // it<=MaxCheck=10, PRV/PSV every iteration while it<=MaxCheck; after
+    // that only at flow convergence (prevents parallel-pump flip-flop).
+    const int MAXCHECK = 10, CHECKFREQ = 2;
+    bool flow_conv = relerr < accuracy;
+    bool check_links = (it <= MAXCHECK && it % CHECKFREQ == 0) || flow_conv;
+    bool check_valves = (it <= MAXCHECK) || flow_conv;
     status_changed = false;
     for (int k = 0; k < L; ++k) {
       double dh = H[node1[k]] - H[node2[k]];
+      if (!check_links && (link_type[k] == LT_PIPE || link_type[k] == LT_PUMP)) continue;
+      if (!check_valves && link_type[k] == LT_VALVE) continue;
       if (link_type[k] == LT_PIPE && check_valve[k]) {
         if (status[k] == ST_OPEN && (dh < -HTOL || q[k] < -QTOL)) {
           status[k] = ST_CLOSED; q[k] = TINY_Q; status_changed = true;

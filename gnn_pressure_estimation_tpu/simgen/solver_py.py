@@ -298,16 +298,26 @@ def solve(ns: NetworkState, max_iter: int | None = None, accuracy: float | None 
         relerr = np.sum(np.abs(dq)) / max(denom, TINY)
         q = q_new
 
-        # ---- status checks (EPANET linkstatus/valvestatus) ------------
+        # ---- status checks (EPANET linkstatus/valvestatus schedule) ----
+        # Pumps/CVs every CheckFreq=2 iterations while it<=MaxCheck=10;
+        # PRV/PSV every iteration while it<=MaxCheck; afterwards only once
+        # the flow has converged (prevents parallel-pump flip-flop,
+        # EPANET hydsolver.c hasconverged/statuschanged policy).
+        MAXCHECK, CHECKFREQ = 10, 2
+        flow_conv = relerr < accuracy
+        check_links = (it <= MAXCHECK and it % CHECKFREQ == 0) or flow_conv
+        check_valves = it <= MAXCHECK or flow_conv
         status_changed = False
+        if not (check_links or check_valves):
+            continue
         # check valves + pumps: close on reverse flow
-        for li in pipes:
+        for li in (pipes if check_links else []):
             if ns.check_valve[li]:
                 if status[li] == OPEN and (head[n1[li]] - head[n2[li]] < -HTOL or q[li] < -QTOL):
                     status[li] = CLOSED; q[li] = TINY; status_changed = True
                 elif status[li] == CLOSED and head[n1[li]] - head[n2[li]] > HTOL:
                     status[li] = OPEN; q[li] = TINY; status_changed = True
-        for li in pumps:
+        for li in (pumps if check_links else []):
             if ns.status[li] == CLOSED:
                 continue  # user-closed stays closed
             w = ns.pump_speed[li]
@@ -317,7 +327,7 @@ def solve(ns: NetworkState, max_iter: int | None = None, accuracy: float | None 
                 status[li] = CLOSED; q[li] = TINY; status_changed = True
             elif status[li] == CLOSED and -dh_li < hmax - HTOL:
                 status[li] = OPEN; q[li] = TINY; status_changed = True
-        for li in valves:
+        for li in (valves if check_valves else []):
             if ns.status[li] == CLOSED:
                 continue
             vt = ns.valve_type[li]
