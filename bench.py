@@ -1,0 +1,108 @@
+"""Benchmark: GATRes-small training throughput on the C-Town-scale network.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Metric: directed graph edges processed per second through the full jitted
+training step (forward + backward + Adam), batch 32, mask_rate 0.95 — the
+BASELINE.json headline ("edges/s/chip on C-Town GATRes-small"). The edge
+count is per-layer message edges including self-loops, times the number of
+GAT message-passing layers per block (2 GAT + 1 mean conv), times blocks —
+i.e. actual aggregation work, not just graph size.
+
+``vs_baseline`` compares against BASELINE.json's ``published.edges_per_s``
+(recorded from the first TPU run of this benchmark; 1.0 if absent).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from gnn_pressure_estimation_tpu.data.dataset import build_template, get_keep_list
+    from gnn_pressure_estimation_tpu.data.inp import parse_inp
+    from gnn_pressure_estimation_tpu.models import select_model
+    from gnn_pressure_estimation_tpu.train import TrainConfig
+    from gnn_pressure_estimation_tpu.train.loop import Trainer
+    from gnn_pressure_estimation_tpu.utils.scaling import NormStats
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    inp = os.path.join(repo, "inputs", "synthctown.inp")
+    if os.path.exists(inp):
+        wn = parse_inp(inp)
+    else:
+        from gnn_pressure_estimation_tpu.simgen.netgen import make_ctown_like
+
+        wn = make_ctown_like()
+    keep = get_keep_list(wn, "keep_junction", None, "pressure")
+    tpl, _ = build_template(wn, keep, None, name="ctown")
+
+    batch = 32
+    cfg = TrainConfig(
+        batch_size=batch, mask_rate=0.95, criterion="mse",
+        matmul_precision=None, seed=0,
+    )
+    model, preset = select_model("gatres_small")
+    stats = NormStats(norm_type="znorm", mean=40.0, std=15.0)
+    trainer = Trainer(model, cfg, stats, tpl)
+
+    rng = np.random.default_rng(0)
+    snaps = rng.standard_normal((batch, tpl.n_node)).astype(np.float32)
+    x = jnp.asarray(snaps.reshape(-1, 1))
+    step = trainer._get_train_step(tpl, batch)
+
+    params, opt_state = trainer.params, trainer.opt_state
+    key = jax.random.PRNGKey(0)
+
+    # warmup (compile + stabilize)
+    for i in range(5):
+        params, opt_state, loss, _ = step(params, opt_state, x, x, key)
+    jax.block_until_ready(loss)
+
+    iters = 30
+    t0 = time.perf_counter()
+    for i in range(iters):
+        params, opt_state, loss, _ = step(
+            params, opt_state, x, x, jax.random.fold_in(key, i)
+        )
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+
+    # message edges per step: per GATRes block 2 GAT layers run over E+N
+    # (self-loops) and 1 mean conv over E; 15 blocks, batch graphs.
+    e, n = tpl.n_edge, tpl.n_node
+    blocks = 15
+    edges_per_step = batch * blocks * (2 * (e + n) + e)
+    edges_per_s = edges_per_step * iters / dt
+
+    baseline = None
+    try:
+        with open(os.path.join(repo, "BASELINE.json")) as f:
+            baseline = json.load(f).get("published", {}).get("edges_per_s")
+    except Exception:
+        pass
+    vs = edges_per_s / baseline if baseline else 1.0
+
+    print(json.dumps({
+        "metric": "gatres_small_train_edges_per_s",
+        "value": round(edges_per_s, 1),
+        "unit": "edges/s/chip",
+        "vs_baseline": round(vs, 3),
+    }))
+    print(
+        f"# {jax.devices()[0].platform} step={dt / iters * 1e3:.2f} ms "
+        f"(batch {batch}, {n} nodes, {e} directed edges, loss {float(loss):.4f})",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -25,6 +25,19 @@ from gnn_pressure_estimation_tpu import ops
 glorot = nn.initializers.glorot_uniform()
 zeros = nn.initializers.zeros
 
+NEG_INF = -1e9  # mask value for dense attention (finite: avoids inf-nan)
+
+
+def _dense_agg(mat: jax.Array, x: jax.Array, graph: BatchedGraph) -> jax.Array:
+    """Aggregate with a template-level [n, n] operator as a batched matmul:
+    out[b] = mat @ x[b]. The MXU path for small graphs — XLA's TPU scatter
+    lowering serializes updates, so gather/segment aggregation is ~50× slower
+    at WDN scale (see GraphTemplate.DENSE_THRESHOLD)."""
+    B, n = graph.n_graph, graph.nodes_per_graph
+    xb = x.reshape(B, n, -1)
+    out = jnp.einsum("ij,bjc->bic", mat, xb)
+    return out.reshape(B * n, -1)
+
 
 class GATConv(nn.Module):
     """Graph attention conv (Velickovic et al.), PyG-compatible semantics.
@@ -53,8 +66,11 @@ class GATConv(nn.Module):
 
         if self.add_self_loops:
             senders, receivers = graph.senders_sl, graph.receivers_sl
+            emask = graph.edge_mask_sl
         else:
             senders, receivers = graph.senders, graph.receivers
+            emask = graph.edge_mask
+        ax = graph.axis_name
 
         xp = (x.astype(self.dtype) @ w.astype(self.dtype)).reshape(-1, H, C)
         # Per-node attention logit halves (SDDMM against the attention vectors
@@ -62,13 +78,28 @@ class GATConv(nn.Module):
         alpha_src = jnp.sum(xp * att_src.astype(self.dtype), axis=-1)  # [N, H]
         alpha_dst = jnp.sum(xp * att_dst.astype(self.dtype), axis=-1)  # [N, H]
 
-        logits = ops.gather(alpha_src, senders) + ops.gather(alpha_dst, receivers)
-        logits = nn.leaky_relu(logits, self.negative_slope)
-        alpha = ops.segment_softmax(
-            logits.astype(jnp.float32), receivers, graph.n_node
-        ).astype(self.dtype)  # [E, H]
-
-        out = ops.spmm(xp, senders, receivers, graph.n_node, edge_weight=alpha)
+        if graph.dense and ax is None and self.add_self_loops:
+            # Dense masked attention (the MXU path): logits over all pairs,
+            # adjacency mask, softmax over senders, batched matmul aggregate.
+            B, n = graph.n_graph, graph.nodes_per_graph
+            xp_b = xp.reshape(B, n, H, C)
+            a_s = alpha_src.reshape(B, n, H)
+            a_d = alpha_dst.reshape(B, n, H)
+            logits = a_d[:, :, None, :] + a_s[:, None, :, :]      # [B, i, j, H]
+            logits = nn.leaky_relu(logits, self.negative_slope)
+            logits = jnp.where(
+                graph.adj_sl_mask[None, :, :, None], logits, NEG_INF
+            )
+            attn = jax.nn.softmax(logits.astype(jnp.float32), axis=2).astype(self.dtype)
+            out = jnp.einsum("bijh,bjhc->bihc", attn, xp_b).reshape(-1, H, C)
+        else:
+            logits = ops.gather_src(alpha_src, senders, ax) + ops.gather(alpha_dst, receivers)
+            logits = nn.leaky_relu(logits, self.negative_slope)
+            alpha = ops.segment_softmax(
+                logits.astype(jnp.float32), receivers, graph.n_node, edge_mask=emask
+            ).astype(self.dtype)  # [E, H]
+            out = ops.spmm(xp, senders, receivers, graph.n_node, edge_weight=alpha,
+                           axis_name=ax, edge_mask=emask)
         if self.concat:
             out = out.reshape(-1, H * C)
         else:
@@ -85,7 +116,10 @@ class SimpleMeanConv(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, graph: BatchedGraph) -> jax.Array:
-        agg = ops.spmm(x, graph.senders, graph.receivers, graph.n_node)
+        if graph.dense and graph.axis_name is None:
+            return _dense_agg(graph.mean_mat, x, graph)
+        agg = ops.spmm(x, graph.senders, graph.receivers, graph.n_node,
+                       axis_name=graph.axis_name, edge_mask=graph.edge_mask)
         return agg * graph.inv_degree[:, None]
 
 
@@ -99,10 +133,14 @@ class GCNConv(nn.Module):
     def __call__(self, x: jax.Array, graph: BatchedGraph) -> jax.Array:
         w = self.param("w", glorot, (x.shape[-1], self.out_channels), jnp.float32)
         xp = x @ w
-        out = ops.spmm(
-            xp, graph.senders_sl, graph.receivers_sl, graph.n_node,
-            edge_weight=graph.gcn_norm,
-        )
+        if graph.dense and graph.axis_name is None:
+            out = _dense_agg(graph.gcn_mat, xp, graph)
+        else:
+            out = ops.spmm(
+                xp, graph.senders_sl, graph.receivers_sl, graph.n_node,
+                edge_weight=graph.gcn_norm,
+                axis_name=graph.axis_name, edge_mask=graph.edge_mask_sl,
+            )
         if self.use_bias:
             out = out + self.param("bias", zeros, (self.out_channels,), jnp.float32)
         return out
@@ -126,10 +164,14 @@ class GCN2Conv(nn.Module):
 
         w = self.param("w", glorot, (self.channels, self.channels), jnp.float32)
         beta = math.log(self.theta / self.layer_index + 1.0)
-        hx = ops.spmm(
-            x, graph.senders_sl, graph.receivers_sl, graph.n_node,
-            edge_weight=graph.gcn_norm,
-        )
+        if graph.dense and graph.axis_name is None:
+            hx = _dense_agg(graph.gcn_mat, x, graph)
+        else:
+            hx = ops.spmm(
+                x, graph.senders_sl, graph.receivers_sl, graph.n_node,
+                edge_weight=graph.gcn_norm,
+                axis_name=graph.axis_name, edge_mask=graph.edge_mask_sl,
+            )
         h = (1.0 - self.alpha) * hx + self.alpha * x0
         return (1.0 - beta) * h + beta * (h @ w)
 
@@ -154,9 +196,12 @@ class ChebConv(nn.Module):
         w = self.param("w", glorot, (self.K, in_c, self.out_channels), jnp.float32)
 
         def lap(v):
+            if graph.dense and graph.axis_name is None:
+                return _dense_agg(graph.cheb_mat, v, graph)
             return ops.spmm(
                 v, graph.senders, graph.receivers, graph.n_node,
                 edge_weight=graph.cheb_norm,
+                axis_name=graph.axis_name, edge_mask=graph.edge_mask,
             )
 
         tx_prev, out = x, x @ w[0]
@@ -205,7 +250,11 @@ class GINConv(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, graph: BatchedGraph, training: bool = False) -> jax.Array:
-        agg = ops.spmm(x, graph.senders, graph.receivers, graph.n_node)
+        if graph.dense and graph.axis_name is None:
+            agg = _dense_agg(graph.adj_mat, x, graph)
+        else:
+            agg = ops.spmm(x, graph.senders, graph.receivers, graph.n_node,
+                           axis_name=graph.axis_name, edge_mask=graph.edge_mask)
         h = (1.0 + self.eps) * x + agg
         if self.mlp_dims is not None:
             return MLP(self.mlp_dims)(h, training)
@@ -240,15 +289,17 @@ class GENConv(nn.Module):
         training: bool = False,
     ) -> jax.Array:
         d = self.latent_dim
+        ax = graph.axis_name
+        x_src = ops.gather_src(x, graph.senders, ax)
         if edge_emb is not None:
-            diff = jnp.abs(
-                ops.gather(x, graph.senders) - ops.gather(x, graph.receivers)
-            )
+            diff = jnp.abs(x_src - ops.gather(x, graph.receivers))
             e = edge_emb + diff
-            msg = jnp.concatenate([ops.gather(x, graph.senders), e], axis=-1)
+            msg = jnp.concatenate([x_src, e], axis=-1)
         else:
-            msg = ops.gather(x, graph.senders)
+            msg = x_src
         msg = nn.selu(msg) + self.eps
+        if graph.edge_mask is not None:
+            msg = jnp.where(graph.edge_mask[:, None], msg, 0.0)
         latent = ops.segment_sum(msg, graph.receivers, graph.n_node)
 
         res = nn.Dense(d, use_bias=self.use_bias, kernel_init=glorot, name="res")

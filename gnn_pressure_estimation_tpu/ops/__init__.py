@@ -4,6 +4,7 @@ from gnn_pressure_estimation_tpu.ops.segment import (
     segment_max,
     segment_softmax,
     gather,
+    gather_src,
     spmm,
     sddmm_dot,
 )
@@ -14,6 +15,7 @@ __all__ = [
     "segment_max",
     "segment_softmax",
     "gather",
+    "gather_src",
     "spmm",
     "sddmm_dot",
 ]

@@ -1,0 +1,13 @@
+from gnn_pressure_estimation_tpu.parallel.mesh import make_mesh
+from gnn_pressure_estimation_tpu.parallel.edgepart import partition_graph
+from gnn_pressure_estimation_tpu.parallel.distributed import (
+    DistributedTrainer,
+    make_distributed_train_step,
+)
+
+__all__ = [
+    "make_mesh",
+    "partition_graph",
+    "DistributedTrainer",
+    "make_distributed_train_step",
+]

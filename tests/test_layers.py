@@ -94,3 +94,25 @@ def test_ginconv_formula(rng):
     hidden = s * np.where(hidden > 0, hidden, a * (np.exp(hidden) - 1))
     expect = hidden @ np.asarray(p["Dense_1"]["kernel"]) + np.asarray(p["Dense_1"]["bias"])
     np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-4, atol=1e-4)
+
+
+def test_dense_mode_matches_segment_mode(rng):
+    """Dense [n,n]-operator aggregation (MXU path) == segment path."""
+    import jax.numpy as jnp
+    from gnn_pressure_estimation_tpu.models.gatres import GATRes
+    from gnn_pressure_estimation_tpu.models.zoo import GIN, GCN2, ChebNet
+
+    tpl = random_graph(rng, n=18, extra_edges=9)
+    g_dense = tpl.batch(3, dense=True)
+    g_seg = tpl.batch(3, dense=False)
+    assert g_dense.dense and not g_seg.dense
+    x = jnp.asarray(rng.standard_normal((54, 1)).astype(np.float32))
+    for model in [GATRes(num_blocks=2, channels=8), GIN(num_blocks=2, channels=8),
+                  GCN2(num_blocks=2, channels=8), ChebNet(channels=8)]:
+        params = model.init(jax.random.PRNGKey(0), x, g_dense)
+        out_d = model.apply(params, x, g_dense)
+        out_s = model.apply(params, x, g_seg)
+        np.testing.assert_allclose(
+            np.asarray(out_d), np.asarray(out_s), rtol=2e-4, atol=2e-5,
+            err_msg=type(model).__name__,
+        )
