@@ -1,0 +1,304 @@
+"""Command-line interface: generate | train | eval | benchmark | netgen | mkconfig.
+
+Maps the reference's three entry points onto one CLI:
+- ``generate`` ← scenegenv7.py (README.md:15)
+- ``train``    ← train.py (README.md:24)
+- ``eval``     ← evaluation.py (README.md:96-106)
+- ``mkconfig`` ← generator/EPYNET/ConfigCreator.py (README.md:60, with the
+  CLI actually wired — the reference ignored its own flags)
+- ``netgen``   — synthetic WDN INP generator (no reference analog; the
+  reference's C-Town INP ships as an unusable git-LFS pointer)
+
+Run as ``python -m gnn_pressure_estimation_tpu.cli <command> [flags]``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import sys
+from datetime import datetime
+
+
+def _add_train_flags(p: argparse.ArgumentParser):
+    """Training flag surface (reference train.py:541-648)."""
+    p.add_argument("--model", default="gatres_small",
+                   choices=["gatres_small", "gatres_large", "gin", "graphconvwat",
+                            "chebnet", "mgcn", "gcn2", "gat"])
+    p.add_argument("--lr", default=0.0005, type=float)
+    p.add_argument("--weight_decay", default=0.000006, type=float)
+    p.add_argument("--epochs", default=500, type=int)
+    p.add_argument("--mask_rate", default=0.95, type=float)
+    p.add_argument("--dataset_paths", default=["datasets/synthctown.zip"], nargs="*")
+    p.add_argument("--input_paths", default=["inputs/synthctown.inp"], nargs="*")
+    p.add_argument("--feature", default="pressure", choices=["pressure", "head"])
+    p.add_argument("--variant", default=datetime.today().strftime("%Y%m%d_%H%M"))
+    p.add_argument("--criterion", default=None, choices=["mse", "mae", "sce", None],
+                   help="override the model preset's criterion")
+    p.add_argument("--norm_type", default=None, choices=["znorm", "minmax", "unused", None],
+                   help="override the model preset's normalization")
+    p.add_argument("--num_trains", default=None, type=int)
+    p.add_argument("--batch_size", default=8, type=int)
+    p.add_argument("--train_val_removal", default="keep_junction",
+                   choices=["keep_all", "keep_list", "keep_junction", "reservoir", "tank"])
+    p.add_argument("--patience", default=100, type=int)
+    p.add_argument("--min_delta", default=1e-4, type=float)
+    p.add_argument("--use_gradient_clipping", action="store_true")
+    p.add_argument("--percentile", default=10.0, type=float)
+    p.add_argument("--scheduler", default=None, choices=["ReduceLROnPlateau", None])
+    p.add_argument("--scheduler_patience", default=2, type=int)
+    p.add_argument("--save_path", default="experiments_logs/run", type=str)
+    p.add_argument("--model_path", default="", type=str,
+                   help="checkpoint to resume from")
+    p.add_argument("--seed", default=42, type=int)
+    p.add_argument("--device", default=None, choices=["tpu", "cpu", None],
+                   help="cpu forces the CPU backend")
+    p.add_argument("--log_method", default=None, choices=["wandb", None])
+    p.add_argument("--project_name", default="test_project", type=str)
+
+
+def _load_datasets(args, preset):
+    from gnn_pressure_estimation_tpu.data import WDNDataset
+
+    norm_type = args.norm_type or preset.norm_type
+    edge_attrs = preset.edge_attrs
+    train_ds = WDNDataset(
+        args.dataset_paths, args.input_paths, feature=args.feature,
+        from_set="train", num_records=args.num_trains,
+        removal=args.train_val_removal, edge_attrs=edge_attrs,
+        norm_type=norm_type,
+    )
+    val_ds = WDNDataset(
+        args.dataset_paths, args.input_paths, feature=args.feature,
+        from_set="valid", removal=args.train_val_removal,
+        edge_attrs=edge_attrs, norm_type=norm_type, stats=train_ds.stats,
+    )
+    return train_ds, val_ds, norm_type
+
+
+def cmd_train(args):
+    if args.device == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    from gnn_pressure_estimation_tpu.models import select_model
+    from gnn_pressure_estimation_tpu.train import TrainConfig, Trainer, load_checkpoint
+    from gnn_pressure_estimation_tpu.utils.logging import make_logger
+
+    model, preset = select_model(args.model)
+    train_ds, val_ds, norm_type = _load_datasets(args, preset)
+
+    cfg = TrainConfig(
+        lr=args.lr, weight_decay=args.weight_decay, epochs=args.epochs,
+        mask_rate=args.mask_rate, batch_size=args.batch_size,
+        criterion=args.criterion or preset.criterion, norm_type=norm_type,
+        patience=args.patience, min_delta=args.min_delta,
+        scheduler=args.scheduler, scheduler_patience=args.scheduler_patience,
+        use_gradient_clipping=args.use_gradient_clipping,
+        clip_percentile=args.percentile, seed=args.seed,
+        save_path=args.save_path, model_name=args.model, variant=args.variant,
+    )
+    trainer = Trainer(model, cfg, train_ds.stats, train_ds.members[0].template)
+    print(f"Model: {args.model}; parameters: {trainer.n_params}")
+    if args.model_path:
+        params, _, meta = load_checkpoint(args.model_path, trainer.params)
+        trainer.params = params
+        print(f"resumed from {args.model_path} (epoch {meta['epoch']})")
+
+    logger = make_logger(args.log_method, args.project_name,
+                         f"{args.model}_{args.variant}", vars(args))
+    best = trainer.fit(train_ds, val_ds, on_epoch_end=logger.log_epoch)
+    logger.finish()
+    print(f"best epoch {best['epoch']}: val_loss {best['loss']:.6f}")
+    return 0
+
+
+def cmd_eval(args):
+    if args.device == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    from gnn_pressure_estimation_tpu.data import WDNDataset
+    from gnn_pressure_estimation_tpu.evaluation import EvalConfig, Evaluator
+    from gnn_pressure_estimation_tpu.evaluation.harness import make_noisy_scenes
+    from gnn_pressure_estimation_tpu.models import select_model
+    from gnn_pressure_estimation_tpu.train import load_checkpoint
+
+    model, preset = select_model(args.model)
+    norm_type = args.norm_type or preset.norm_type
+    if not args.model_path:
+        sys.exit("eval requires --model_path (a trained checkpoint)")
+    params, _, meta = load_checkpoint(args.model_path)
+    stats = meta.get("stats")
+    assert stats is not None, "checkpoint lacks normalization stats"
+
+    cfg = EvalConfig(
+        test_type=args.test_type, num_test_trials=args.num_test_trials,
+        batch_size=args.batch_size, mask_rate=args.mask_rate,
+        criterion=args.criterion or preset.criterion,
+        use_same_mask=args.use_same_mask,
+        gpu_warmup_times=args.gpu_warmup_times,
+        test_input_path=args.test_input_path,
+        mean_dmd=args.mean_dmd, std_dmd=args.std_dmd,
+        feature=args.feature, removal=args.test_removal,
+    )
+    # params restored without a template keep raw dict form — rebuild via init
+    import jax
+    import jax.numpy as jnp
+
+    if cfg.test_type == "clean":
+        if args.from_set == "all":
+            from_sets = ["test", "train", "valid"]
+            parts = [
+                WDNDataset([args.test_data_path], [args.test_input_path],
+                           feature=args.feature, from_set=fs,
+                           removal=args.test_removal, edge_attrs=preset.edge_attrs,
+                           norm_type=norm_type, stats=stats)
+                for fs in from_sets
+            ]
+            test_ds = parts[0] + parts[1] + parts[2]
+        else:
+            test_ds = WDNDataset(
+                [args.test_data_path], [args.test_input_path],
+                feature=args.feature, from_set=args.from_set,
+                removal=args.test_removal, edge_attrs=preset.edge_attrs,
+                norm_type=norm_type, stats=stats,
+            )
+        datasets = test_ds
+        tpl = test_ds.members[0].template
+    else:
+        datasets = make_noisy_scenes(
+            [args.test_input_path], cfg, stats, preset.edge_attrs, norm_type
+        )
+        tpl = datasets[0].members[0].template
+
+    template_params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((tpl.n_node, 1)), tpl.batch(1)
+    )
+    from flax import serialization
+
+    params = serialization.from_state_dict(template_params, params)
+
+    ev = Evaluator(model, cfg, stats)
+    loss_dict, metric_dict, sensor_dict = ev.evaluate(params, datasets)
+    return 0
+
+
+def cmd_generate(args):
+    from gnn_pressure_estimation_tpu.simgen.config import GenOptions
+    from gnn_pressure_estimation_tpu.simgen.runner import generate
+
+    opt_fields = {f.name for f in dataclasses.fields(GenOptions)}
+    opts = GenOptions(**{k: v for k, v in vars(args).items() if k in opt_fields})
+    generate(args.config, opts)
+    return 0
+
+
+def cmd_mkconfig(args):
+    from gnn_pressure_estimation_tpu.simgen.config import create_dummy_config
+
+    create_dummy_config(
+        args.wn_inp_path, out_path=args.out,
+        num_scenarios=args.num_scenarios, strategy=args.strategy,
+    )
+    print(f"wrote {args.out}")
+    return 0
+
+
+def cmd_netgen(args):
+    from gnn_pressure_estimation_tpu.data.inp import write_inp
+    from gnn_pressure_estimation_tpu.simgen.netgen import make_wdn
+
+    wn = make_wdn(
+        args.junctions, args.reservoirs, args.tanks, args.pumps, args.valves,
+        seed=args.seed,
+    )
+    write_inp(wn, args.out)
+    print(f"wrote {args.out}: {wn.n_nodes} nodes, {wn.n_links} links")
+    return 0
+
+
+def cmd_benchmark(args):
+    import runpy
+
+    sys.argv = ["bench.py"]
+    runpy.run_path(os.path.join(os.path.dirname(__file__), "..", "bench.py"),
+                   run_name="__main__")
+    return 0
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="gnn_pressure_estimation_tpu")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p_train = sub.add_parser("train", help="train a model on snapshot datasets")
+    _add_train_flags(p_train)
+
+    p_eval = sub.add_parser("eval", help="multi-trial statistical evaluation")
+    _add_train_flags(p_eval)
+    p_eval.add_argument("--test_type", default="clean",
+                        choices=["clean", "noisy11", "noisyNN"])
+    p_eval.add_argument("--from_set", default="test",
+                        choices=["train", "valid", "test", "all"])
+    p_eval.add_argument("--test_data_path", default="datasets/synthctown.zip")
+    p_eval.add_argument("--test_input_path", default="inputs/synthctown.inp")
+    p_eval.add_argument("--test_removal", default="keep_junction",
+                        choices=["keep_all", "keep_list", "keep_junction",
+                                 "reservoir", "tank"])
+    p_eval.add_argument("--num_test_trials", default=10, type=int)
+    p_eval.add_argument("--use_same_mask", action="store_true")
+    p_eval.add_argument("--gpu_warmup_times", default=10, type=int)
+    p_eval.add_argument("--mean_dmd", default=0.1, type=float)
+    p_eval.add_argument("--std_dmd", default=1.0, type=float)
+
+    p_gen = sub.add_parser("generate", help="Monte-Carlo scenario generation")
+    p_gen.add_argument("--config", required=True)
+    from gnn_pressure_estimation_tpu.simgen.config import GenOptions
+
+    for f in dataclasses.fields(GenOptions):
+        if f.name == "config":
+            continue
+        arg = f"--{f.name}"
+        ftype = str(f.type)
+        if ftype == "bool" or isinstance(f.default, bool):
+            p_gen.add_argument(arg, default=f.default,
+                               action=argparse.BooleanOptionalAction)
+        elif f.default is None:
+            # Optional fields: infer the scalar type from the annotation so
+            # "--pressure_lowerbound -5" parses as float, not str
+            typ = float if "float" in ftype else (int if "int" in ftype else str)
+            p_gen.add_argument(arg, default=None, type=typ)
+        else:
+            p_gen.add_argument(arg, default=f.default, type=type(f.default))
+
+    p_cfg = sub.add_parser("mkconfig", help="derive a generation INI from an INP")
+    p_cfg.add_argument("--wn_inp_path", required=True)
+    p_cfg.add_argument("--out", required=True)
+    p_cfg.add_argument("--num_scenarios", default=100, type=int)
+    p_cfg.add_argument("--strategy", default="minmax", choices=["minmax", "quantile"])
+
+    p_net = sub.add_parser("netgen", help="generate a synthetic WDN INP")
+    p_net.add_argument("--out", required=True)
+    p_net.add_argument("--junctions", default=388, type=int)
+    p_net.add_argument("--reservoirs", default=1, type=int)
+    p_net.add_argument("--tanks", default=7, type=int)
+    p_net.add_argument("--pumps", default=11, type=int)
+    p_net.add_argument("--valves", default=4, type=int)
+    p_net.add_argument("--seed", default=0, type=int)
+
+    sub.add_parser("benchmark", help="run the edges/s benchmark")
+
+    args = parser.parse_args(argv)
+    return {
+        "train": cmd_train,
+        "eval": cmd_eval,
+        "generate": cmd_generate,
+        "mkconfig": cmd_mkconfig,
+        "netgen": cmd_netgen,
+        "benchmark": cmd_benchmark,
+    }[args.command](args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,301 @@
+"""Multi-trial statistical evaluation harness.
+
+Reference parity (evaluation.py:240-803):
+
+- ``clean``:    N mask redraws over a fixed snapshot dataset
+- ``noisy11``:  N noise scenes (online re-simulation), 1 mask each
+- ``noisyNN``:  N noise scenes × N masks (N² runs)
+- every trial reports all-nodes *and* sensors-only passes
+  (``test_and_collect_once``, evaluation.py:525-598); sensors come from an
+  optional secrets plug-in or an explicit name list and are always-masked
+- metrics: the 7-metric suite on descaled values, plus ``test_time`` (ms per
+  snapshot) and ``test_throughput`` measured after warm-up on trial 0
+- aggregation: mean ± (std + 1e-6) across trials (evaluation.py:739-761)
+
+TPU redesign: masks are drawn inside the jitted eval step; the forward used
+for timing is its own jitted callable so latency measures the model, not the
+metric computation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from collections import defaultdict
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gnn_pressure_estimation_tpu.data.dataset import SnapshotLoader, WDNDataset
+from gnn_pressure_estimation_tpu.data.noisy import NoisyWDNDataset
+from gnn_pressure_estimation_tpu.evaluation.sensors import get_sensors
+from gnn_pressure_estimation_tpu.evaluation.timer import Timer
+from gnn_pressure_estimation_tpu.train.loop import make_criterion
+from gnn_pressure_estimation_tpu.utils import metrics as metrics_mod
+from gnn_pressure_estimation_tpu.utils.masking import batch_node_mask, masked_count
+from gnn_pressure_estimation_tpu.utils.scaling import NormStats, descale_with
+
+
+@dataclasses.dataclass
+class EvalConfig:
+    """Evaluation flag surface (reference evaluation.py:823-926)."""
+
+    test_type: str = "clean"          # clean | noisy11 | noisyNN
+    num_test_trials: int = 10
+    batch_size: int = 32
+    mask_rate: float = 0.95
+    criterion: str = "mse"
+    use_same_mask: bool = False
+    gpu_warmup_times: int = 10
+    seed: int = 1234
+    # sensors
+    test_input_path: Optional[str] = None
+    sensor_names: Optional[Sequence[str]] = None
+    include_reservoir: bool = False
+    # noisy-simulation knobs (reference get_default_datasets defaults,
+    # evaluation.py:69)
+    mean_dmd: float = 0.1
+    std_dmd: float = 1.0
+    feature: str = "pressure"
+    removal: str = "keep_junction"
+
+
+class Evaluator:
+    """Jitted per-trial evaluation over a dataset, with optional sensor set."""
+
+    def __init__(self, model, cfg: EvalConfig, stats: NormStats):
+        self.model = model
+        self.cfg = cfg
+        self.stats = stats
+        self.criterion = make_criterion(cfg.criterion)
+        self._step_cache: dict = {}
+        self._fwd_cache: dict = {}
+
+    def _sensor_idx(self, template) -> tuple:
+        cfg = self.cfg
+        if cfg.sensor_names is not None:
+            names = list(cfg.sensor_names)
+        elif cfg.test_input_path is not None:
+            _, names = get_sensors(
+                cfg.test_input_path, cfg.feature, cfg.include_reservoir
+            )
+        else:
+            return ()
+        if not names:
+            return ()
+        kept = template.node_names or []
+        lookup = {n: i for i, n in enumerate(kept)}
+        return tuple(lookup[n] for n in names if n in lookup)
+
+    def _get_fwd(self, template, bs):
+        key = (id(template), bs)
+        if key not in self._fwd_cache:
+            graph = template.batch(bs)
+
+            @jax.jit
+            def fwd(params, x_in):
+                return self.model.apply(params, x_in, graph)
+
+            self._fwd_cache[key] = fwd
+        return self._fwd_cache[key]
+
+    def _get_metrics_fn(self, template, bs, prefix):
+        key = (id(template), bs, prefix, "m")
+        if key not in self._step_cache:
+            n = template.n_node
+            k = masked_count(n, self.cfg.mask_rate)
+            n_masked = bs * k
+            st = self.stats
+            crit = self.criterion
+
+            @jax.jit
+            def compute(out, y, mask):
+                (midx,) = jnp.nonzero(mask, size=n_masked)
+                yp, yt = out[midx], y[midx]
+                loss = crit(yp, yt)
+                mets = metrics_mod.compute_all(
+                    descale_with(yp, st), descale_with(yt, st), prefix
+                )
+                return loss, mets
+
+            self._step_cache[key] = compute
+        return self._step_cache[key]
+
+    def run_trial(
+        self,
+        dataset: WDNDataset,
+        trial: int,
+        prefix: str = "test",
+        sensors: bool = False,
+        timer: Optional[Timer] = None,
+        rng: Optional[np.random.Generator] = None,
+    ) -> tuple[float, dict]:
+        """One pass over the dataset with fresh masks (reference
+        test_one_epoch, evaluation.py:240-347)."""
+        cfg = self.cfg
+        rng = rng or np.random.default_rng(cfg.seed + trial)
+        loader = SnapshotLoader(dataset, cfg.batch_size, shuffle=False)
+        total_loss, total_graphs = 0.0, 0
+        sums: dict[str, float] = {}
+        shared_mask = {}
+
+        for template, xb, _ in loader:
+            bs = xb.shape[0]
+            n = template.n_node
+            req = self._sensor_idx(template) if sensors else ()
+            x = jnp.asarray(xb.reshape(-1, 1))
+            key = jax.random.PRNGKey(int(rng.integers(0, 2**31 - 1)))
+            mkey = (id(template), bs)
+            if cfg.use_same_mask and mkey in shared_mask:
+                mask = shared_mask[mkey]
+            else:
+                mask = batch_node_mask(
+                    key, bs, n, cfg.mask_rate, required_idx=req,
+                    shared=cfg.use_same_mask,
+                )
+                shared_mask[mkey] = mask
+            x_in = jnp.where(mask[:, None], 0.0, x)
+
+            fwd = self._get_fwd(template, bs)
+            if timer is not None:
+                warm = cfg.gpu_warmup_times if (trial == 0 and not timer.finished_warmup) else 0
+                wrapped = timer.auto_measure(fwd, bs, warmup_times=warm)
+                out = wrapped(self.params, x_in)
+            else:
+                out = fwd(self.params, x_in)
+
+            loss, mets = self._get_metrics_fn(template, bs, prefix)(out, x, mask)
+            total_loss += float(loss) * bs
+            total_graphs += bs
+            for mk, mv in mets.items():
+                sums[mk] = sums.get(mk, 0.0) + float(mv) * bs
+
+        ntot = max(total_graphs, 1)
+        return total_loss / ntot, {mk: v / ntot for mk, v in sums.items()}
+
+    # -- public API ------------------------------------------------------
+    def evaluate(self, params, datasets, log_fn=print) -> tuple[dict, dict, dict]:
+        """Full multi-trial evaluation; ``datasets`` is one WDNDataset
+        (clean) or a list (noisy11/noisyNN scenes).
+
+        Returns (loss_dict, metric_dict, sensor_metric_dict) with
+        ``*_mean`` / ``*_std`` entries (reference internal_test,
+        evaluation.py:739-778)."""
+        cfg = self.cfg
+        self.params = params
+        timer = Timer()
+        losses, sensor_losses = [], []
+        metric_lists: dict[str, list] = defaultdict(list)
+        sensor_metric_lists: dict[str, list] = defaultdict(list)
+
+        def collect_once(ds, trial):
+            loss, mets = self.run_trial(ds, trial, "test", sensors=False, timer=timer)
+            s_loss, s_mets = self.run_trial(ds, trial, "test", sensors=True)
+            losses.append(loss)
+            sensor_losses.append(s_loss)
+            mets["test_time"] = timer.compute_time(len(ds))
+            mets["test_throughput"] = timer.compute_throughput(len(ds))
+            for mk, mv in mets.items():
+                metric_lists[mk].append(mv)
+            for mk, mv in s_mets.items():
+                sensor_metric_lists[mk + "_sensor"].append(mv)
+            timer.timings.clear()
+            timer.num_graphs.clear()
+
+        if cfg.test_type == "clean":
+            assert isinstance(datasets, WDNDataset)
+            for trial in range(cfg.num_test_trials):
+                collect_once(datasets, trial)
+        elif cfg.test_type == "noisy11":
+            assert isinstance(datasets, (list, tuple))
+            for trial, ds in enumerate(datasets):
+                collect_once(ds, trial)
+        elif cfg.test_type == "noisyNN":
+            assert isinstance(datasets, (list, tuple))
+            t = 0
+            for ds in datasets:
+                for _ in range(cfg.num_test_trials):
+                    collect_once(ds, t)
+                    t += 1
+        else:
+            raise NotImplementedError(f"test type {cfg.test_type}")
+
+        trials = len(losses)
+        loss_dict = {
+            "test_loss_mean": float(np.mean(losses)),
+            "test_loss_std": float(np.std(losses) + 1e-6),
+            "test_loss_sensor_mean": float(np.mean(sensor_losses)),
+            "test_loss_sensor_std": float(np.std(sensor_losses) + 1e-6),
+        }
+        metric_dict = {}
+        for mk, vals in metric_lists.items():
+            metric_dict[f"{mk}_mean"] = float(np.mean(vals))
+            metric_dict[f"{mk}_std"] = float(np.std(vals) + 1e-6)
+        sensor_metric_dict = {}
+        for mk, vals in sensor_metric_lists.items():
+            sensor_metric_dict[f"{mk}_mean"] = float(np.mean(vals))
+            sensor_metric_dict[f"{mk}_std"] = float(np.std(vals) + 1e-6)
+
+        summary = ", ".join(
+            f"{mk[:-5]}: {v:.4f} +/- {metric_dict[mk[:-5] + '_std']:.4f}"
+            for mk, v in metric_dict.items() if mk.endswith("_mean")
+        )
+        log_fn(f"\nThis TEST experiment reports the average result of {trials} runs.")
+        log_fn(
+            f"test_loss: {loss_dict['test_loss_mean']:.4f} +/- "
+            f"{loss_dict['test_loss_std']:.4f}, {summary}"
+        )
+        return loss_dict, metric_dict, sensor_metric_dict
+
+
+def make_noisy_scenes(
+    inp_paths: Sequence[str],
+    cfg: EvalConfig,
+    stats: NormStats,
+    edge_attrs=None,
+    norm_type: str = "znorm",
+    backend: Optional[str] = None,
+) -> list[NoisyWDNDataset]:
+    """N independent noise scenes (reference evaluation.py:104-127: a list of
+    NoisyWDNDataset, one per trial)."""
+    return [
+        NoisyWDNDataset(
+            inp_paths,
+            feature=cfg.feature,
+            removal=cfg.removal,
+            stats=stats,
+            edge_attrs=edge_attrs,
+            norm_type=norm_type,
+            mean_dmd=cfg.mean_dmd,
+            std_dmd=cfg.std_dmd,
+            seed=cfg.seed + t,
+            backend=backend,
+        )
+        for t in range(cfg.num_test_trials)
+    ]
+
+
+def evaluate(
+    model,
+    params,
+    cfg: EvalConfig,
+    stats: NormStats,
+    test_ds=None,
+    inp_paths: Optional[Sequence[str]] = None,
+    edge_attrs=None,
+    norm_type: str = "znorm",
+    log_fn=print,
+):
+    """Convenience wrapper: builds noisy scenes if needed, runs the harness."""
+    ev = Evaluator(model, cfg, stats)
+    if cfg.test_type in ("noisy11", "noisyNN"):
+        assert inp_paths, "noisy tests need inp_paths for online simulation"
+        datasets = make_noisy_scenes(
+            inp_paths, cfg, stats, edge_attrs, norm_type
+        )
+    else:
+        assert test_ds is not None
+        datasets = test_ds
+    return ev.evaluate(params, datasets, log_fn=log_fn)
