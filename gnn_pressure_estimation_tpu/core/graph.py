@@ -125,6 +125,7 @@ class GraphTemplate:
 
         self._batch_cache: dict[Any, "BatchedGraph"] = {}
         self._dense_cache: Optional[dict] = None
+        self._degree_cache: Optional[dict] = None
 
     # Node count below which aggregation runs as dense [n, n] operator
     # matmuls on the MXU instead of gather/segment ops. XLA's TPU scatter
@@ -163,6 +164,56 @@ class GraphTemplate:
     @property
     def max_degree(self) -> int:
         return int(self.in_degree.max()) if self.n_node else 0
+
+    def degree_tables(self) -> dict:
+        """Degree-padded edge layout: every node's incoming edges padded to
+        the max in-degree, so aggregation is gather + masked reduce over a
+        fixed axis — no scatter at any graph size (the padded-CSR layout the
+        BASELINE names). Self-loop variant appends one extra slot holding the
+        node itself (always valid)."""
+        if self._degree_cache is not None:
+            return self._degree_cache
+        n = self.n_node
+        D = max(self.max_degree, 1)
+        senders_dp = np.zeros((n, D), np.int32)
+        mask_dp = np.zeros((n, D), bool)
+        cheb_dp = np.zeros((n, D), np.float32)
+        slot = np.zeros(n, np.int32)
+        for s, r, cw in zip(self.senders, self.receivers, self.cheb_norm):
+            j = slot[r]
+            senders_dp[r, j] = s
+            mask_dp[r, j] = True
+            cheb_dp[r, j] = cw
+            slot[r] += 1
+        # self-loop slot appended last
+        senders_sl = np.concatenate(
+            [senders_dp, np.arange(n, dtype=np.int32)[:, None]], axis=1
+        )
+        mask_sl = np.concatenate([mask_dp, np.ones((n, 1), bool)], axis=1)
+        # gcn weights per padded slot (incl self-loop slot)
+        deg_sl = self.in_degree + 1.0
+        dinv = (1.0 / np.sqrt(deg_sl)).astype(np.float32)
+        gcn_dp = np.where(mask_dp, dinv[:, None] * dinv[senders_dp], 0.0)
+        gcn_sl = np.concatenate([gcn_dp, (dinv * dinv)[:, None]], axis=1).astype(np.float32)
+        from gnn_pressure_estimation_tpu.ops.padded import build_transpose_tables
+
+        out_flat, out_mask = build_transpose_tables(senders_dp, mask_dp, n)
+        out_flat_sl, out_mask_sl = build_transpose_tables(
+            senders_sl.astype(np.int32), mask_sl, n
+        )
+        self._degree_cache = {
+            "senders_dp": senders_dp,
+            "mask_dp": mask_dp,
+            "senders_dp_sl": senders_sl.astype(np.int32),
+            "mask_dp_sl": mask_sl,
+            "gcn_dp_sl": gcn_sl,
+            "cheb_dp": cheb_dp,
+            "out_flat": out_flat,
+            "out_mask": out_mask,
+            "out_flat_sl": out_flat_sl,
+            "out_mask_sl": out_mask_sl,
+        }
+        return self._degree_cache
 
     def batch(
         self,
@@ -205,6 +256,36 @@ class GraphTemplate:
                 "cheb_mat": jnp.asarray(d["cheb_mat"]),
                 "adj_mat": jnp.asarray(d["adj_mat"]),
             }
+        else:
+            # degree-padded tables (scatter-free path for large graphs)
+            from gnn_pressure_estimation_tpu.ops.padded import make_padded_gather
+
+            dt = self.degree_tables()
+            offs3 = (np.arange(B, dtype=np.int32) * n)[:, None, None]
+            D = dt["senders_dp"].shape[1]
+            senders_dp_b = (dt["senders_dp"][None] + offs3).reshape(-1, D)
+            senders_sl_b = (dt["senders_dp_sl"][None] + offs3).reshape(-1, D + 1)
+            # transpose tables: flattened slot positions shift by b*n*D(+1)
+            offs_f = (np.arange(B, dtype=np.int32) * (n * D))[:, None, None]
+            out_flat_b = (dt["out_flat"][None] + offs_f).reshape(-1, dt["out_flat"].shape[1])
+            offs_f_sl = (np.arange(B, dtype=np.int32) * (n * (D + 1)))[:, None, None]
+            out_flat_sl_b = (dt["out_flat_sl"][None] + offs_f_sl).reshape(
+                -1, dt["out_flat_sl"].shape[1]
+            )
+            dense_ops = {
+                "senders_dp": jnp.asarray(senders_dp_b),
+                "mask_dp": jnp.asarray(np.tile(dt["mask_dp"], (B, 1))),
+                "senders_dp_sl": jnp.asarray(senders_sl_b),
+                "mask_dp_sl": jnp.asarray(np.tile(dt["mask_dp_sl"], (B, 1))),
+                "gcn_dp_sl": jnp.asarray(np.tile(dt["gcn_dp_sl"], (B, 1))),
+                "cheb_dp": jnp.asarray(np.tile(dt["cheb_dp"], (B, 1))),
+                "gather_dp": make_padded_gather(
+                    senders_dp_b, out_flat_b, np.tile(dt["out_mask"], (B, 1))
+                ),
+                "gather_dp_sl": make_padded_gather(
+                    senders_sl_b, out_flat_sl_b, np.tile(dt["out_mask_sl"], (B, 1))
+                ),
+            }
 
         g = BatchedGraph(
             senders=jnp.asarray(senders),
@@ -246,8 +327,15 @@ class GraphTemplate:
         "gcn_mat",
         "cheb_mat",
         "adj_mat",
+        "senders_dp",
+        "mask_dp",
+        "senders_dp_sl",
+        "mask_dp_sl",
+        "gcn_dp_sl",
+        "cheb_dp",
     ],
-    meta_fields=["n_node", "n_edge", "n_graph", "nodes_per_graph", "axis_name"],
+    meta_fields=["n_node", "n_edge", "n_graph", "nodes_per_graph", "axis_name",
+                 "gather_dp", "gather_dp_sl"],
 )
 @dataclasses.dataclass(frozen=True)
 class BatchedGraph:
@@ -287,11 +375,26 @@ class BatchedGraph:
     gcn_mat: Optional[jax.Array] = None
     cheb_mat: Optional[jax.Array] = None
     adj_mat: Optional[jax.Array] = None
+    # Degree-padded layout (large graphs): [N, D(+1)] sender tables + masks.
+    senders_dp: Optional[jax.Array] = None
+    mask_dp: Optional[jax.Array] = None
+    senders_dp_sl: Optional[jax.Array] = None
+    mask_dp_sl: Optional[jax.Array] = None
+    gcn_dp_sl: Optional[jax.Array] = None
+    cheb_dp: Optional[jax.Array] = None
     axis_name: Optional[str] = None
+    # scatter-free gathers with gather-based VJPs (ops/padded.py); static
+    # (meta) so they specialize the jit cache per graph layout
+    gather_dp: Optional[Any] = None
+    gather_dp_sl: Optional[Any] = None
 
     @property
     def dense(self) -> bool:
         return self.mean_mat is not None
+
+    @property
+    def padded(self) -> bool:
+        return self.senders_dp is not None and self.axis_name is None
 
     @property
     def n_edge_sl(self) -> int:

@@ -28,6 +28,14 @@ zeros = nn.initializers.zeros
 NEG_INF = -1e9  # mask value for dense attention (finite: avoids inf-nan)
 
 
+def _padded_weighted_agg(gather_fn, x: jax.Array, w_dp: jax.Array) -> jax.Array:
+    """Σ_d w[n,d] · x[senders[n,d]] — degree-padded weighted aggregation
+    (weights are zero on padding slots by construction). ``gather_fn`` is the
+    graph's scatter-free custom-VJP gather."""
+    nbr = gather_fn(x)                             # [N, D, C]
+    return jnp.einsum("nd,ndc->nc", w_dp, nbr)
+
+
 def _dense_agg(mat: jax.Array, x: jax.Array, graph: BatchedGraph) -> jax.Array:
     """Aggregate with a template-level [n, n] operator as a batched matmul:
     out[b] = mat @ x[b]. The MXU path for small graphs — XLA's TPU scatter
@@ -92,6 +100,16 @@ class GATConv(nn.Module):
             )
             attn = jax.nn.softmax(logits.astype(jnp.float32), axis=2).astype(self.dtype)
             out = jnp.einsum("bijh,bjhc->bihc", attn, xp_b).reshape(-1, H, C)
+        elif graph.padded and self.add_self_loops:
+            # Degree-padded attention (scatter-free at any graph size):
+            # per-node fixed-width neighbor slots, masked softmax over slots.
+            mdp = graph.mask_dp_sl                               # [N, D+1]
+            logits = graph.gather_dp_sl(alpha_src) + alpha_dst[:, None, :]
+            logits = nn.leaky_relu(logits, self.negative_slope)  # [N, D+1, H]
+            logits = jnp.where(mdp[..., None], logits, NEG_INF)
+            attn = jax.nn.softmax(logits.astype(jnp.float32), axis=1).astype(self.dtype)
+            nbr = graph.gather_dp_sl(xp)                         # [N, D+1, H, C]
+            out = jnp.einsum("ndh,ndhc->nhc", attn, nbr)
         else:
             logits = ops.gather_src(alpha_src, senders, ax) + ops.gather(alpha_dst, receivers)
             logits = nn.leaky_relu(logits, self.negative_slope)
@@ -118,6 +136,10 @@ class SimpleMeanConv(nn.Module):
     def __call__(self, x: jax.Array, graph: BatchedGraph) -> jax.Array:
         if graph.dense and graph.axis_name is None:
             return _dense_agg(graph.mean_mat, x, graph)
+        if graph.padded:
+            nbr = graph.gather_dp(x)                             # [N, D, C]
+            agg = jnp.sum(jnp.where(graph.mask_dp[..., None], nbr, 0.0), axis=1)
+            return agg * graph.inv_degree[:, None]
         agg = ops.spmm(x, graph.senders, graph.receivers, graph.n_node,
                        axis_name=graph.axis_name, edge_mask=graph.edge_mask)
         return agg * graph.inv_degree[:, None]
@@ -135,6 +157,8 @@ class GCNConv(nn.Module):
         xp = x @ w
         if graph.dense and graph.axis_name is None:
             out = _dense_agg(graph.gcn_mat, xp, graph)
+        elif graph.padded:
+            out = _padded_weighted_agg(graph.gather_dp_sl, xp, graph.gcn_dp_sl)
         else:
             out = ops.spmm(
                 xp, graph.senders_sl, graph.receivers_sl, graph.n_node,
@@ -166,6 +190,8 @@ class GCN2Conv(nn.Module):
         beta = math.log(self.theta / self.layer_index + 1.0)
         if graph.dense and graph.axis_name is None:
             hx = _dense_agg(graph.gcn_mat, x, graph)
+        elif graph.padded:
+            hx = _padded_weighted_agg(graph.gather_dp_sl, x, graph.gcn_dp_sl)
         else:
             hx = ops.spmm(
                 x, graph.senders_sl, graph.receivers_sl, graph.n_node,
@@ -198,6 +224,8 @@ class ChebConv(nn.Module):
         def lap(v):
             if graph.dense and graph.axis_name is None:
                 return _dense_agg(graph.cheb_mat, v, graph)
+            if graph.padded:
+                return _padded_weighted_agg(graph.gather_dp, v, graph.cheb_dp)
             return ops.spmm(
                 v, graph.senders, graph.receivers, graph.n_node,
                 edge_weight=graph.cheb_norm,
@@ -252,6 +280,9 @@ class GINConv(nn.Module):
     def __call__(self, x: jax.Array, graph: BatchedGraph, training: bool = False) -> jax.Array:
         if graph.dense and graph.axis_name is None:
             agg = _dense_agg(graph.adj_mat, x, graph)
+        elif graph.padded:
+            nbr = graph.gather_dp(x)
+            agg = jnp.sum(jnp.where(graph.mask_dp[..., None], nbr, 0.0), axis=1)
         else:
             agg = ops.spmm(x, graph.senders, graph.receivers, graph.n_node,
                            axis_name=graph.axis_name, edge_mask=graph.edge_mask)

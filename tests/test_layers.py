@@ -116,3 +116,28 @@ def test_dense_mode_matches_segment_mode(rng):
             np.asarray(out_d), np.asarray(out_s), rtol=2e-4, atol=2e-5,
             err_msg=type(model).__name__,
         )
+
+
+def test_padded_mode_matches_segment_mode(rng):
+    """Degree-padded aggregation (scatter-free) == segment path."""
+    import jax.numpy as jnp
+    from gnn_pressure_estimation_tpu.models.gatres import GATRes
+    from gnn_pressure_estimation_tpu.models.zoo import GIN, GCN2, ChebNet
+
+    tpl = random_graph(rng, n=21, extra_edges=11)
+    g_pad = tpl.batch(3, dense=False)      # padded tables auto-included
+    assert g_pad.padded and not g_pad.dense
+    # segment-only graph: strip padded tables
+    import dataclasses as dc
+    g_seg = dc.replace(g_pad, senders_dp=None, mask_dp=None, senders_dp_sl=None,
+                       mask_dp_sl=None, gcn_dp_sl=None, cheb_dp=None)
+    x = jnp.asarray(rng.standard_normal((63, 1)).astype(np.float32))
+    for model in [GATRes(num_blocks=2, channels=8), GIN(num_blocks=2, channels=8),
+                  GCN2(num_blocks=2, channels=8), ChebNet(channels=8)]:
+        params = model.init(jax.random.PRNGKey(0), x, g_pad)
+        out_p = model.apply(params, x, g_pad)
+        out_s = model.apply(params, x, g_seg)
+        np.testing.assert_allclose(
+            np.asarray(out_p), np.asarray(out_s), rtol=2e-4, atol=2e-5,
+            err_msg=type(model).__name__,
+        )
