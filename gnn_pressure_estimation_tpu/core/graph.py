@@ -215,23 +215,38 @@ class GraphTemplate:
         }
         return self._degree_cache
 
+    def band_layout(self, block: int = 256):
+        if not hasattr(self, "_band_cache") or self._band_cache is None:
+            from gnn_pressure_estimation_tpu.ops.banded import build_band_layout
+
+            self._band_cache = build_band_layout(self, block=block)
+        return self._band_cache
+
     def batch(
         self,
         batch_size: int,
         edge_attr_override: Optional[np.ndarray] = None,
         dense: Optional[bool] = None,
+        mode: Optional[str] = None,
     ) -> "BatchedGraph":
         """Disjoint union of ``batch_size`` copies of this template.
 
         All index arrays stay receiver-sorted globally because graph ``g``'s
         nodes occupy the contiguous id range ``[g*n, (g+1)*n)``.
 
-        ``dense=None`` auto-selects dense [n, n] operator mode for small
-        templates (see :attr:`DENSE_THRESHOLD`).
+        ``mode``: ``dense`` ([n,n] operators, small templates) | ``banded``
+        (RCM band windows, large templates) | ``padded`` (degree-padded
+        custom-VJP gathers) | ``auto`` (dense below :attr:`DENSE_THRESHOLD`,
+        banded above). ``dense=True/False`` is the legacy switch
+        (True → dense, False → padded).
         """
-        if dense is None:
-            dense = self.n_node <= self.DENSE_THRESHOLD
-        key = (batch_size, edge_attr_override is None, dense)
+        if mode is None:
+            if dense is None:
+                mode = "dense" if self.n_node <= self.DENSE_THRESHOLD else "banded"
+            else:
+                mode = "dense" if dense else "padded"
+        dense = mode == "dense"
+        key = (batch_size, edge_attr_override is None, mode)
         if key in self._batch_cache and edge_attr_override is None:
             return self._batch_cache[key]
 
@@ -247,6 +262,48 @@ class GraphTemplate:
         edge_attr = None if ea is None else np.tile(np.asarray(ea, np.float32), (B, 1))
 
         dense_ops = {}
+        if mode == "banded":
+            bl = self.band_layout()
+            dense_ops = {
+                "band_adj_mask": jnp.asarray(bl.adj_mask),
+                "band_mean": jnp.asarray(bl.mean_band),
+                "band_gcn": jnp.asarray(bl.gcn_band),
+                "band_cheb": jnp.asarray(bl.cheb_band),
+                "band_adj": jnp.asarray(bl.adj_band),
+                "band_perm": jnp.asarray(bl.perm),
+                "band_inv_perm": jnp.asarray(bl.inv_perm),
+                "band_win_start": bl.win_start,
+                "band_W": bl.W,
+                "band_n_pad": bl.n_pad,
+            }
+            # segment index arrays in banded (perm+pad) node space, receiver
+            # re-sorted, so segment-path layers (e.g. m_GCN) stay correct
+            inv = bl.inv_perm.astype(np.int32)
+            offs_p = (np.arange(B, dtype=np.int32) * bl.n_pad)[:, None]
+            s_p, r_p, order = _sort_by_receiver(inv[self.senders], inv[self.receivers])
+            s_sl_p, r_sl_p, order_sl = _sort_by_receiver(
+                inv[self.senders_sl], inv[self.receivers_sl]
+            )
+            inv_deg_p = np.zeros(bl.n_pad, np.float32)
+            inv_deg_p[inv] = self.inv_degree
+            g = BatchedGraph(
+                senders=jnp.asarray((s_p[None, :] + offs_p).reshape(-1)),
+                receivers=jnp.asarray((r_p[None, :] + offs_p).reshape(-1)),
+                senders_sl=jnp.asarray((s_sl_p[None, :] + offs_p).reshape(-1)),
+                receivers_sl=jnp.asarray((r_sl_p[None, :] + offs_p).reshape(-1)),
+                inv_degree=jnp.asarray(np.tile(inv_deg_p, B)),
+                gcn_norm=jnp.asarray(np.tile(self.gcn_norm[order_sl], B)),
+                cheb_norm=jnp.asarray(np.tile(self.cheb_norm[order], B)),
+                edge_attr=None,
+                node_graph_id=jnp.repeat(jnp.arange(B, dtype=jnp.int32), bl.n_pad),
+                n_node=B * bl.n_pad,
+                n_edge=B * self.n_edge,
+                n_graph=B,
+                nodes_per_graph=bl.n_pad,
+                **dense_ops,
+            )
+            self._batch_cache[key] = g
+            return g
         if dense:
             d = self.dense_operators()
             dense_ops = {
@@ -333,9 +390,17 @@ class GraphTemplate:
         "mask_dp_sl",
         "gcn_dp_sl",
         "cheb_dp",
+        "band_adj_mask",
+        "band_mean",
+        "band_gcn",
+        "band_cheb",
+        "band_adj",
+        "band_perm",
+        "band_inv_perm",
     ],
     meta_fields=["n_node", "n_edge", "n_graph", "nodes_per_graph", "axis_name",
-                 "gather_dp", "gather_dp_sl"],
+                 "gather_dp", "gather_dp_sl",
+                 "band_win_start", "band_W", "band_n_pad"],
 )
 @dataclasses.dataclass(frozen=True)
 class BatchedGraph:
@@ -388,6 +453,18 @@ class BatchedGraph:
     gather_dp: Optional[Any] = None
     gather_dp_sl: Optional[Any] = None
 
+    # Banded (RCM local-attention) layout — large templates; see ops/banded.py
+    band_adj_mask: Optional[jax.Array] = None
+    band_mean: Optional[jax.Array] = None
+    band_gcn: Optional[jax.Array] = None
+    band_cheb: Optional[jax.Array] = None
+    band_adj: Optional[jax.Array] = None
+    band_perm: Optional[jax.Array] = None
+    band_inv_perm: Optional[jax.Array] = None
+    band_win_start: Optional[tuple] = None
+    band_W: int = 0
+    band_n_pad: int = 0
+
     @property
     def dense(self) -> bool:
         return self.mean_mat is not None
@@ -395,6 +472,25 @@ class BatchedGraph:
     @property
     def padded(self) -> bool:
         return self.senders_dp is not None and self.axis_name is None
+
+    @property
+    def banded(self) -> bool:
+        return self.band_adj_mask is not None and self.axis_name is None
+
+    # -- banded-space packing (caller-side, once per step) -----------------
+    def pack_nodes(self, x_flat: jax.Array, n_orig: int) -> jax.Array:
+        """[B*n_orig, C] original order → [B*n_pad, C] perm+padded."""
+        B = self.n_graph
+        xb = x_flat.reshape(B, n_orig, -1)
+        xb = jnp.take(xb, self.band_perm, axis=1)
+        xb = jnp.pad(xb, ((0, 0), (0, self.band_n_pad - n_orig), (0, 0)))
+        return xb.reshape(B * self.band_n_pad, -1)
+
+    def unpack_nodes(self, x_flat: jax.Array, n_orig: int) -> jax.Array:
+        B = self.n_graph
+        xb = x_flat.reshape(B, self.band_n_pad, -1)[:, : n_orig]
+        xb = jnp.take(xb, self.band_inv_perm, axis=1)
+        return xb.reshape(B * n_orig, -1)
 
     @property
     def n_edge_sl(self) -> int:

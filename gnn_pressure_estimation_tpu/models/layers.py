@@ -21,6 +21,7 @@ import flax.linen as nn
 
 from gnn_pressure_estimation_tpu.core.graph import BatchedGraph
 from gnn_pressure_estimation_tpu import ops
+from gnn_pressure_estimation_tpu.ops import banded as bops
 
 glorot = nn.initializers.glorot_uniform()
 zeros = nn.initializers.zeros
@@ -34,6 +35,15 @@ def _padded_weighted_agg(gather_fn, x: jax.Array, w_dp: jax.Array) -> jax.Array:
     graph's scatter-free custom-VJP gather."""
     nbr = gather_fn(x)                             # [N, D, C]
     return jnp.einsum("nd,ndc->nc", w_dp, nbr)
+
+
+def _band_agg(band: jax.Array, x: jax.Array, graph: BatchedGraph) -> jax.Array:
+    """Banded-dense aggregation: static window slices + batched matmul
+    (ops/banded.py). x is in perm+padded node space."""
+    B, n_pad = graph.n_graph, graph.band_n_pad
+    xb = x.reshape(B, n_pad, -1)
+    wins = bops.band_windows(xb, graph.band_win_start, graph.band_W)
+    return bops.band_spmm(band, wins).reshape(B * n_pad, -1)
 
 
 def _dense_agg(mat: jax.Array, x: jax.Array, graph: BatchedGraph) -> jax.Array:
@@ -100,6 +110,21 @@ class GATConv(nn.Module):
             )
             attn = jax.nn.softmax(logits.astype(jnp.float32), axis=2).astype(self.dtype)
             out = jnp.einsum("bijh,bjhc->bihc", attn, xp_b).reshape(-1, H, C)
+        elif graph.banded and ax is None and self.add_self_loops:
+            # Banded local attention (large graphs): band windows over the
+            # RCM ordering, masked softmax within each window.
+            B, n_pad = graph.n_graph, graph.band_n_pad
+            W = graph.band_W
+            a_src_b = alpha_src.reshape(B, n_pad, H)
+            a_dst_b = alpha_dst.reshape(B, n_pad, H)
+            xp_b = xp.reshape(B, n_pad, H * C)
+            a_src_win = bops.band_windows(a_src_b, graph.band_win_start, W)
+            xp_win = bops.band_windows(xp_b, graph.band_win_start, W)
+            xp_win = xp_win.reshape(xp_win.shape[:3] + (H, C))
+            out = bops.band_attention(
+                a_dst_b, a_src_win, xp_win, graph.band_adj_mask,
+                self.negative_slope,
+            ).reshape(-1, H, C)
         elif graph.padded and self.add_self_loops:
             # Degree-padded attention (scatter-free at any graph size):
             # per-node fixed-width neighbor slots, masked softmax over slots.
@@ -136,6 +161,8 @@ class SimpleMeanConv(nn.Module):
     def __call__(self, x: jax.Array, graph: BatchedGraph) -> jax.Array:
         if graph.dense and graph.axis_name is None:
             return _dense_agg(graph.mean_mat, x, graph)
+        if graph.banded and graph.axis_name is None:
+            return _band_agg(graph.band_mean, x, graph)
         if graph.padded:
             nbr = graph.gather_dp(x)                             # [N, D, C]
             agg = jnp.sum(jnp.where(graph.mask_dp[..., None], nbr, 0.0), axis=1)
@@ -157,6 +184,8 @@ class GCNConv(nn.Module):
         xp = x @ w
         if graph.dense and graph.axis_name is None:
             out = _dense_agg(graph.gcn_mat, xp, graph)
+        elif graph.banded and graph.axis_name is None:
+            out = _band_agg(graph.band_gcn, xp, graph)
         elif graph.padded:
             out = _padded_weighted_agg(graph.gather_dp_sl, xp, graph.gcn_dp_sl)
         else:
@@ -190,6 +219,8 @@ class GCN2Conv(nn.Module):
         beta = math.log(self.theta / self.layer_index + 1.0)
         if graph.dense and graph.axis_name is None:
             hx = _dense_agg(graph.gcn_mat, x, graph)
+        elif graph.banded and graph.axis_name is None:
+            hx = _band_agg(graph.band_gcn, x, graph)
         elif graph.padded:
             hx = _padded_weighted_agg(graph.gather_dp_sl, x, graph.gcn_dp_sl)
         else:
@@ -224,6 +255,8 @@ class ChebConv(nn.Module):
         def lap(v):
             if graph.dense and graph.axis_name is None:
                 return _dense_agg(graph.cheb_mat, v, graph)
+            if graph.banded and graph.axis_name is None:
+                return _band_agg(graph.band_cheb, v, graph)
             if graph.padded:
                 return _padded_weighted_agg(graph.gather_dp, v, graph.cheb_dp)
             return ops.spmm(
@@ -280,6 +313,8 @@ class GINConv(nn.Module):
     def __call__(self, x: jax.Array, graph: BatchedGraph, training: bool = False) -> jax.Array:
         if graph.dense and graph.axis_name is None:
             agg = _dense_agg(graph.adj_mat, x, graph)
+        elif graph.banded and graph.axis_name is None:
+            agg = _band_agg(graph.band_adj, x, graph)
         elif graph.padded:
             nbr = graph.gather_dp(x)
             agg = jnp.sum(jnp.where(graph.mask_dp[..., None], nbr, 0.0), axis=1)

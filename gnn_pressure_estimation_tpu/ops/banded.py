@@ -1,0 +1,162 @@
+"""Banded-dense aggregation for large graphs (RCM band + local attention).
+
+After reverse-Cuthill-McKee reordering a WDN graph's adjacency is banded:
+every neighbor of node i lies within ±bandwidth of i. For big templates the
+full dense [n, n] operators are infeasible, but the *band* is narrow
+(bigtown: 896 of 5800 columns), so each 256-row block only interacts with a
+static contiguous window of columns:
+
+    out[block] = Band[block, :, :W] @ x[win_start : win_start + W]
+
+Everything is static-sliced batched matmul on the MXU — no gather, no
+scatter, no one-hot; backward is the transposed matmul plus pad-adds of the
+window slices. GAT becomes *local masked attention* over the band window
+(the graph analog of sliding-window attention).
+
+This is the default aggregation mode for templates above
+``GraphTemplate.DENSE_THRESHOLD``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclasses.dataclass(frozen=True)
+class BandLayout:
+    """Host-built band layout of one template (perm space)."""
+
+    perm: np.ndarray          # x_perm = x[perm]
+    inv_perm: np.ndarray
+    n: int                    # original node count
+    n_pad: int                # nB * BLK
+    BLK: int
+    W: int
+    win_start: tuple          # static per-block window starts (len nB)
+    adj_mask: np.ndarray      # [nB, BLK, W] bool (incl. self-loops)
+    mean_band: np.ndarray     # [nB, BLK, W] row-normalized mean (no SL)
+    gcn_band: np.ndarray      # [nB, BLK, W] sym-norm with SL
+    cheb_band: np.ndarray     # [nB, BLK, W] −D^-1/2 A D^-1/2
+    adj_band: np.ndarray      # [nB, BLK, W] raw adjacency (no SL)
+
+
+def build_band_layout(template, block: int = 256) -> BandLayout:
+    import scipy.sparse as sp
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    n = template.n_node
+    A = sp.csr_matrix(
+        (np.ones(template.n_edge), (template.receivers, template.senders)),
+        shape=(n, n),
+    )
+    perm = np.asarray(reverse_cuthill_mckee(A, symmetric_mode=True))
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(n)
+
+    s2, r2 = inv[template.senders], inv[template.receivers]
+    nB = -(-n // block)
+    n_pad = nB * block
+
+    # per-block window bounds over senders (plus own rows for self-loops)
+    lo = np.full(nB, np.iinfo(np.int32).max, np.int64)
+    hi = np.zeros(nB, np.int64)
+    for b in range(nB):
+        lo[b] = b * block
+        hi[b] = min((b + 1) * block, n)
+    for s, r in zip(s2, r2):
+        b = r // block
+        lo[b] = min(lo[b], s)
+        hi[b] = max(hi[b], s + 1)
+    width = int((hi - lo).max())
+    W = min(_round_up(width, 128), _round_up(n_pad, 8))
+    win_start = np.minimum(lo, max(n_pad - W, 0)).astype(np.int32)
+
+    adj = np.zeros((nB, block, W), bool)
+    mean_b = np.zeros((nB, block, W), np.float32)
+    gcn_b = np.zeros((nB, block, W), np.float32)
+    cheb_b = np.zeros((nB, block, W), np.float32)
+    adj_raw = np.zeros((nB, block, W), np.float32)
+
+    deg = template.in_degree
+    inv_deg = template.inv_degree
+    deg_sl = deg + 1.0
+    dinv_sl = 1.0 / np.sqrt(deg_sl)
+    with np.errstate(divide="ignore"):
+        dinv = np.where(deg > 0, 1.0 / np.sqrt(np.maximum(deg, 1.0)), 0.0)
+
+    for s, r in zip(s2, r2):
+        b, i = r // block, r % block
+        j = s - win_start[b]
+        adj[b, i, j] = True
+        adj_raw[b, i, j] += 1.0
+        # weights indexed by ORIGINAL node ids (perm-space row r ↔ orig perm[r])
+        ro, so = perm[r], perm[s]
+        mean_b[b, i, j] += inv_deg[ro]
+        gcn_b[b, i, j] += dinv_sl[ro] * dinv_sl[so]
+        cheb_b[b, i, j] += -(dinv[ro] * dinv[so])
+    for r in range(n):  # self-loops
+        b, i = r // block, r % block
+        j = r - win_start[b]
+        adj[b, i, j] = True
+        gcn_b[b, i, j] += dinv_sl[perm[r]] ** 2
+
+    return BandLayout(
+        perm=perm.astype(np.int32),
+        inv_perm=inv.astype(np.int32),
+        n=n,
+        n_pad=n_pad,
+        BLK=block,
+        W=W,
+        win_start=tuple(int(v) for v in win_start),
+        adj_mask=adj,
+        mean_band=mean_b,
+        gcn_band=gcn_b,
+        cheb_band=cheb_b,
+        adj_band=adj_raw,
+    )
+
+
+# ---- jit-side ops ----------------------------------------------------------
+
+def band_windows(x_bp: jax.Array, layout_win_start: tuple, W: int) -> jax.Array:
+    """x_bp: [B, n_pad, C] → [nB, B, W, C] static window slices."""
+    return jnp.stack(
+        [jax.lax.slice_in_dim(x_bp, ws, ws + W, axis=1) for ws in layout_win_start]
+    )
+
+
+def band_spmm(band: jax.Array, wins: jax.Array) -> jax.Array:
+    """band: [nB, BLK, W], wins: [nB, B, W, C] → [B, nB*BLK, C]."""
+    out = jnp.einsum("niw,nbwc->bnic", band, wins)
+    B = wins.shape[1]
+    return out.reshape(B, -1, out.shape[-1])
+
+
+def band_attention(
+    a_dst: jax.Array,      # [B, n_pad, H]
+    a_src_win: jax.Array,  # [nB, B, W, H]
+    x_win: jax.Array,      # [nB, B, W, H, C]
+    adj_mask: jax.Array,   # [nB, BLK, W]
+    negative_slope: float,
+    neg_inf: float = -1e9,
+) -> jax.Array:
+    """Local masked GAT attention over band windows → [B, n_pad, H, C]."""
+    nB, B, W, H = a_src_win.shape
+    BLK = adj_mask.shape[1]
+    a_dst_b = a_dst.reshape(B, nB, BLK, H).transpose(1, 0, 2, 3)  # [nB,B,BLK,H]
+    logits = a_dst_b[:, :, :, None, :] + a_src_win[:, :, None, :, :]  # [nB,B,BLK,W,H]
+    logits = jnp.where(logits >= 0, logits, negative_slope * logits)
+    logits = jnp.where(adj_mask[:, None, :, :, None], logits, neg_inf)
+    attn = jax.nn.softmax(logits.astype(jnp.float32), axis=3).astype(x_win.dtype)
+    out = jnp.einsum("nbiwh,nbwhc->nbihc", attn, x_win)  # [nB,B,BLK,H,C]
+    C = x_win.shape[-1]
+    return out.transpose(1, 0, 2, 3, 4).reshape(B, nB * BLK, H, C)

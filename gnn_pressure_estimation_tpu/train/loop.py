@@ -196,6 +196,13 @@ class Trainer:
         @partial(jax.jit, donate_argnums=donate)
         def step(params, opt_state, x, y, key_):
             mask = batch_node_mask(key_, bs, n, self.cfg.mask_rate)
+            if graph.banded:
+                # banded graphs run in RCM-permuted padded node space
+                x = graph.pack_nodes(x, n)
+                y = graph.pack_nodes(y, n)
+                mask = graph.pack_nodes(
+                    mask.astype(jnp.float32)[:, None], n
+                )[:, 0] > 0.5
 
             def loss_fn(p):
                 loss, mets, _ = self._masked_loss_and_metrics(
@@ -224,6 +231,12 @@ class Trainer:
         @jax.jit
         def step(params, x, y, key_):
             mask = batch_node_mask(key_, bs, n, self.cfg.mask_rate, required_idx=req)
+            if graph.banded:
+                x = graph.pack_nodes(x, n)
+                y = graph.pack_nodes(y, n)
+                mask = graph.pack_nodes(
+                    mask.astype(jnp.float32)[:, None], n
+                )[:, 0] > 0.5
             loss, mets, out = self._masked_loss_and_metrics(
                 params, graph, x, y, mask, n_masked, prefix
             )

@@ -141,3 +141,29 @@ def test_padded_mode_matches_segment_mode(rng):
             np.asarray(out_p), np.asarray(out_s), rtol=2e-4, atol=2e-5,
             err_msg=type(model).__name__,
         )
+
+
+def test_banded_mode_matches_dense_mode(rng):
+    """Banded (RCM local-attention) aggregation == dense mode outputs
+    restricted to real nodes (banded runs in perm+padded space)."""
+    import jax.numpy as jnp
+    from gnn_pressure_estimation_tpu.models.gatres import GATRes
+    from gnn_pressure_estimation_tpu.models.zoo import GIN, GCN2, ChebNet
+
+    tpl = random_graph(rng, n=40, extra_edges=25)
+    B = 2
+    g_dense = tpl.batch(B, mode="dense")
+    g_band = tpl.batch(B, mode="banded")
+    assert g_band.banded
+    x = jnp.asarray(rng.standard_normal((B * 40, 1)).astype(np.float32))
+    xb = g_band.pack_nodes(x, 40)
+    for model in [GATRes(num_blocks=2, channels=8), GIN(num_blocks=2, channels=8),
+                  GCN2(num_blocks=2, channels=8), ChebNet(channels=8)]:
+        params = model.init(jax.random.PRNGKey(0), x, g_dense)
+        out_d = model.apply(params, x, g_dense)
+        out_b = model.apply(params, xb, g_band)
+        out_b_orig = g_band.unpack_nodes(out_b, 40)
+        np.testing.assert_allclose(
+            np.asarray(out_b_orig), np.asarray(out_d), rtol=3e-4, atol=3e-5,
+            err_msg=type(model).__name__,
+        )
