@@ -55,7 +55,12 @@ def _add_train_flags(p: argparse.ArgumentParser):
     p.add_argument("--device", default=None, choices=["tpu", "cpu", None],
                    help="cpu forces the CPU backend")
     p.add_argument("--log_method", default=None, choices=["wandb", None])
+    p.add_argument("--log_gradient", action="store_true",
+                   help="track total/block gradient norms per epoch")
     p.add_argument("--project_name", default="test_project", type=str)
+    p.add_argument("--do_test", action="store_true",
+                   help="after training, run the clean multi-trial evaluation "
+                        "on the test split (reference train.py:524-530)")
 
 
 def _load_datasets(args, preset):
@@ -98,6 +103,7 @@ def cmd_train(args):
         use_gradient_clipping=args.use_gradient_clipping,
         clip_percentile=args.percentile, seed=args.seed,
         save_path=args.save_path, model_name=args.model, variant=args.variant,
+        log_gradient=args.log_gradient,
     )
     trainer = Trainer(model, cfg, train_ds.stats, train_ds.members[0].template)
     print(f"Model: {args.model}; parameters: {trainer.n_params}")
@@ -111,6 +117,28 @@ def cmd_train(args):
     best = trainer.fit(train_ds, val_ds, on_epoch_end=logger.log_epoch)
     logger.finish()
     print(f"best epoch {best['epoch']}: val_loss {best['loss']:.6f}")
+
+    if args.do_test:
+        # clean, unshared-mask evaluation of the best checkpoint on the test
+        # split (reference convert_train_2_test_arguments defaults)
+        from gnn_pressure_estimation_tpu.data import WDNDataset
+        from gnn_pressure_estimation_tpu.evaluation import EvalConfig, Evaluator
+        from gnn_pressure_estimation_tpu.train import load_checkpoint
+
+        params, _, _ = load_checkpoint(trainer._ckpt_path("best"), trainer.params)
+        test_ds = WDNDataset(
+            args.dataset_paths, args.input_paths, feature=args.feature,
+            from_set="test", removal=args.train_val_removal,
+            edge_attrs=preset.edge_attrs, norm_type=norm_type,
+            stats=train_ds.stats,
+        )
+        ecfg = EvalConfig(
+            test_type="clean", num_test_trials=10, batch_size=args.batch_size,
+            mask_rate=args.mask_rate, criterion=cfg.criterion,
+            use_same_mask=False, feature=args.feature,
+            removal=args.train_val_removal,
+        )
+        Evaluator(model, ecfg, train_ds.stats).evaluate(params, test_ds)
     return 0
 
 

@@ -7,6 +7,7 @@ from gnn_pressure_estimation_tpu.models.zoo import (
     GraphConvWat,
     MGCN,
 )
+from gnn_pressure_estimation_tpu.models.remask import GATResRemask, GATResRemaskStack
 from gnn_pressure_estimation_tpu.models.presets import MODEL_REGISTRY, select_model
 
 __all__ = [
@@ -18,6 +19,8 @@ __all__ = [
     "ChebNet",
     "GraphConvWat",
     "MGCN",
+    "GATResRemask",
+    "GATResRemaskStack",
     "MODEL_REGISTRY",
     "select_model",
 ]

@@ -63,6 +63,9 @@ class TrainConfig:
     model_name: str = "model"
     variant: str = ""
     log_every: int = 5
+    # gradient observability (reference train.py:477-504 + auxil.py:295-313:
+    # total/block gradient norms and model-update drift vs epoch 1)
+    log_gradient: bool = False
     # TPU knobs (no reference analog)
     matmul_precision: Optional[str] = None  # None | "bfloat16" | "highest"
     donate_state: bool = True
@@ -211,6 +214,16 @@ class Trainer:
                 return loss, mets
 
             (loss, mets), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            if self.cfg.log_gradient:
+                # total + per-block gradient norms (reference tracks modules
+                # named block/mlp/res — auxil.py:295-313)
+                block_norms = {
+                    name: optax.global_norm(sub)
+                    for name, sub in grads["params"].items()
+                    if any(tag in name.lower() for tag in ("block", "mlp", "res", "gcn"))
+                }
+                mets = {**mets, "grad_norm": optax.global_norm(grads),
+                        **{f"grad_norm_{mk}": mv for mk, mv in block_norms.items()}}
             updates, opt_state2 = self.tx.update(grads, opt_state, params)
             params2 = optax.apply_updates(params, updates)
             return params2, opt_state2, loss, mets

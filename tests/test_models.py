@@ -71,3 +71,17 @@ def test_gatres_jit_and_grad(rng):
     flat = jax.tree.leaves(grads)
     assert all(np.isfinite(np.asarray(a)).all() for a in flat)
     assert any(np.abs(np.asarray(a)).sum() > 0 for a in flat)
+
+
+def test_remask_variants_forward(rng):
+    from gnn_pressure_estimation_tpu.models.remask import GATResRemask, GATResRemaskStack
+
+    tpl = random_graph(rng, n=14, extra_edges=6)
+    g = tpl.batch(2)
+    x = jnp.asarray(rng.standard_normal((28, 1)).astype(np.float32))
+    mask = jnp.asarray(rng.random(28) < 0.5)
+    for cls in (GATResRemask, GATResRemaskStack):
+        model = cls(num_blocks=2, channels=8)
+        params = model.init(jax.random.PRNGKey(0), x, g, mask)
+        out = model.apply(params, x, g, mask)
+        assert out.shape == (28, 1) and np.isfinite(np.asarray(out)).all()
