@@ -24,6 +24,7 @@ TPU-first design decisions:
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import Any, Optional
 
@@ -262,6 +263,18 @@ class GraphTemplate:
         edge_attr = None if ea is None else np.tile(np.asarray(ea, np.float32), (B, 1))
 
         dense_ops = {}
+        if mode == "dense" and os.environ.get("GNN_TPU_FUSED_ATTN", "0") == "1":
+            # opt-in: at WDN scale XLA's fused einsum attention measured faster
+            # (7.3 vs 8.5 ms/step) than the per-graph Pallas kernel; the kernel
+            # is kept for larger per-graph n where logits traffic dominates
+            from gnn_pressure_estimation_tpu.ops.pallas.graph_attention import (
+                make_fused_attention,
+            )
+
+            d0 = self.dense_operators()
+            dense_ops["fused_attn"] = make_fused_attention(
+                d0["adj_sl_mask"], negative_slope=0.2
+            )
         if mode == "banded":
             bl = self.band_layout()
             dense_ops = {
@@ -306,7 +319,7 @@ class GraphTemplate:
             return g
         if dense:
             d = self.dense_operators()
-            dense_ops = {
+            dense_ops |= {
                 "adj_sl_mask": jnp.asarray(d["adj_sl_mask"]),
                 "mean_mat": jnp.asarray(d["mean_mat"]),
                 "gcn_mat": jnp.asarray(d["gcn_mat"]),
@@ -399,7 +412,7 @@ class GraphTemplate:
         "band_inv_perm",
     ],
     meta_fields=["n_node", "n_edge", "n_graph", "nodes_per_graph", "axis_name",
-                 "gather_dp", "gather_dp_sl",
+                 "gather_dp", "gather_dp_sl", "fused_attn",
                  "band_win_start", "band_W", "band_n_pad"],
 )
 @dataclasses.dataclass(frozen=True)
@@ -464,6 +477,9 @@ class BatchedGraph:
     band_win_start: Optional[tuple] = None
     band_W: int = 0
     band_n_pad: int = 0
+    # fused masked-attention kernel (ops/pallas/graph_attention.py), built
+    # for dense-mode graphs; static (meta) like the padded gathers
+    fused_attn: Optional[Any] = None
 
     @property
     def dense(self) -> bool:

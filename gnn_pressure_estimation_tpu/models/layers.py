@@ -103,13 +103,22 @@ class GATConv(nn.Module):
             xp_b = xp.reshape(B, n, H, C)
             a_s = alpha_src.reshape(B, n, H)
             a_d = alpha_dst.reshape(B, n, H)
-            logits = a_d[:, :, None, :] + a_s[:, None, :, :]      # [B, i, j, H]
-            logits = nn.leaky_relu(logits, self.negative_slope)
-            logits = jnp.where(
-                graph.adj_sl_mask[None, :, :, None], logits, NEG_INF
-            )
-            attn = jax.nn.softmax(logits.astype(jnp.float32), axis=2).astype(self.dtype)
-            out = jnp.einsum("bijh,bjhc->bihc", attn, xp_b).reshape(-1, H, C)
+            if graph.fused_attn is not None and self.negative_slope == 0.2:
+                # fused Pallas kernel: logits/softmax/P@V stay in VMEM
+                out = graph.fused_attn(
+                    a_d,
+                    a_s.transpose(0, 2, 1),
+                    xp_b.transpose(0, 2, 1, 3),
+                )  # [B, H, n, C]
+                out = out.transpose(0, 2, 1, 3).reshape(-1, H, C).astype(self.dtype)
+            else:
+                logits = a_d[:, :, None, :] + a_s[:, None, :, :]  # [B, i, j, H]
+                logits = nn.leaky_relu(logits, self.negative_slope)
+                logits = jnp.where(
+                    graph.adj_sl_mask[None, :, :, None], logits, NEG_INF
+                )
+                attn = jax.nn.softmax(logits.astype(jnp.float32), axis=2).astype(self.dtype)
+                out = jnp.einsum("bijh,bjhc->bihc", attn, xp_b).reshape(-1, H, C)
         elif graph.banded and ax is None and self.add_self_loops:
             # Banded local attention (large graphs): band windows over the
             # RCM ordering, masked softmax within each window.

@@ -167,3 +167,33 @@ def test_banded_mode_matches_dense_mode(rng):
             np.asarray(out_b_orig), np.asarray(out_d), rtol=3e-4, atol=3e-5,
             err_msg=type(model).__name__,
         )
+
+
+def test_fused_attention_kernel_parity(rng):
+    """Pallas fused masked-attention kernel == einsum dense path (interpret)."""
+    import dataclasses as dc
+    import os
+    import jax.numpy as jnp
+    from gnn_pressure_estimation_tpu.models.gatres import GATRes
+    from gnn_pressure_estimation_tpu.ops.pallas.graph_attention import make_fused_attention
+
+    tpl = random_graph(rng, n=26, extra_edges=13)
+    g_plain = tpl.batch(2, mode="dense")
+    fused = make_fused_attention(
+        np.asarray(tpl.dense_operators()["adj_sl_mask"]), 0.2, interpret=True
+    )
+    g_fused = dc.replace(g_plain, fused_attn=fused)
+    x = jnp.asarray(rng.standard_normal((52, 1)).astype(np.float32))
+    model = GATRes(num_blocks=2, channels=8)
+    params = model.init(jax.random.PRNGKey(0), x, g_plain)
+    o1 = model.apply(params, x, g_plain)
+    o2 = model.apply(params, x, g_fused)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), rtol=1e-5, atol=1e-6)
+
+    def loss(p, g):
+        return jnp.sum(model.apply(p, x, g) ** 2)
+
+    g1 = jax.grad(loss)(params, g_plain)
+    g2 = jax.grad(loss)(params, g_fused)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
