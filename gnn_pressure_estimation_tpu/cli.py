@@ -177,15 +177,24 @@ def cmd_eval(args):
 
     if cfg.test_type == "clean":
         if args.from_set == "all":
-            from_sets = ["test", "train", "valid"]
-            parts = [
-                WDNDataset([args.test_data_path], [args.test_input_path],
-                           feature=args.feature, from_set=fs,
-                           removal=args.test_removal, edge_attrs=preset.edge_attrs,
-                           norm_type=norm_type, stats=stats)
-                for fs in from_sets
-            ]
-            test_ds = parts[0] + parts[1] + parts[2]
+            from gnn_pressure_estimation_tpu.data.dataset import stacked_dataset
+
+            test_ds = stacked_dataset(
+                args.test_data_path, args.test_input_path, stats,
+                feature=args.feature, removal=args.test_removal,
+                edge_attrs=preset.edge_attrs, norm_type=norm_type,
+            )
+        elif args.from_set == "inp":
+            # single fresh noise-free simulation of the INP
+            # (reference evaluation.py:177-196 single_snapshot path)
+            from gnn_pressure_estimation_tpu.data.noisy import NoisyWDNDataset
+
+            test_ds = NoisyWDNDataset(
+                [args.test_input_path], feature=args.feature,
+                removal=args.test_removal, stats=stats,
+                edge_attrs=preset.edge_attrs, norm_type=norm_type,
+                mean_dmd=0.0, std_dmd=0.0,
+            )
         else:
             test_ds = WDNDataset(
                 [args.test_data_path], [args.test_input_path],
@@ -268,7 +277,9 @@ def main(argv=None):
     p_eval.add_argument("--test_type", default="clean",
                         choices=["clean", "noisy11", "noisyNN"])
     p_eval.add_argument("--from_set", default="test",
-                        choices=["train", "valid", "test", "all"])
+                        choices=["train", "valid", "test", "all", "inp"],
+                        help="'all' stacks test+train+valid; 'inp' simulates "
+                             "one fresh snapshot from the INP (no zip needed)")
     p_eval.add_argument("--test_data_path", default="datasets/synthctown.zip")
     p_eval.add_argument("--test_input_path", default="inputs/synthctown.inp")
     p_eval.add_argument("--test_removal", default="keep_junction",

@@ -211,6 +211,38 @@ class WDNDataset:
         return out
 
 
+def stacked_dataset(
+    zip_path: str,
+    inp_path: str,
+    stats: NormStats,
+    feature: str = "pressure",
+    removal: str = "keep_junction",
+    edge_attrs: Optional[Sequence[str]] = None,
+    norm_type: str = "znorm",
+    sets: Sequence[str] = ("test", "train", "valid"),
+    num_tests: Optional[int] = None,
+) -> WDNDataset:
+    """Concatenate splits into one evaluation dataset (reference
+    ``get_stacked_set``/``get_stacked_set2``, DataLoader.py:426-604 — incl.
+    the capped variant: stop adding splits once ``num_tests`` records are
+    reached)."""
+    out: Optional[WDNDataset] = None
+    remaining = num_tests
+    for fs in sets:
+        if remaining is not None and remaining <= 0:
+            break
+        ds = WDNDataset(
+            [zip_path], [inp_path], feature=feature, from_set=fs,
+            num_records=remaining, removal=removal, stats=stats,
+            edge_attrs=edge_attrs, norm_type=norm_type,
+        )
+        if remaining is not None:
+            remaining -= len(ds)
+        out = ds if out is None else out + ds
+    assert out is not None
+    return out
+
+
 class SnapshotLoader:
     """Batch iterator grouping snapshots by template for static jit shapes.
 
