@@ -210,8 +210,10 @@ def cmd_eval(args):
         )
         tpl = datasets[0].members[0].template
 
+    g1 = tpl.batch(1)
+    # g1.n_node covers banded padding (n_pad) when the template is large
     template_params = model.init(
-        jax.random.PRNGKey(0), jnp.zeros((tpl.n_node, 1)), tpl.batch(1)
+        jax.random.PRNGKey(0), jnp.zeros((g1.n_node, 1)), g1
     )
     from flax import serialization
 

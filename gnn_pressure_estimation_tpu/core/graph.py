@@ -144,7 +144,9 @@ class GraphTemplate:
             return self._dense_cache
         n = self.n_node
         A = np.zeros((n, n), np.float32)
-        A[self.receivers, self.senders] = 1.0  # row=receiver, col=sender
+        # accumulate (not assign): parallel links are legal in EPANET INPs
+        # and must keep their multiplicity, matching the segment paths
+        np.add.at(A, (self.receivers, self.senders), 1.0)
         adj_sl = (A + np.eye(n, dtype=np.float32)) > 0
         mean_mat = A * self.inv_degree[:, None]
         deg_sl = self.in_degree + 1.0
@@ -299,6 +301,13 @@ class GraphTemplate:
             )
             inv_deg_p = np.zeros(bl.n_pad, np.float32)
             inv_deg_p[inv] = self.inv_degree
+            # edge features ride along in the re-sorted segment order so
+            # edge-feature models (m_GCN) stay correct in banded mode
+            ea_src = edge_attr_override if edge_attr_override is not None else self.edge_attr
+            ea_banded = (
+                None if ea_src is None
+                else jnp.asarray(np.tile(np.asarray(ea_src, np.float32)[order], (B, 1)))
+            )
             g = BatchedGraph(
                 senders=jnp.asarray((s_p[None, :] + offs_p).reshape(-1)),
                 receivers=jnp.asarray((r_p[None, :] + offs_p).reshape(-1)),
@@ -307,7 +316,7 @@ class GraphTemplate:
                 inv_degree=jnp.asarray(np.tile(inv_deg_p, B)),
                 gcn_norm=jnp.asarray(np.tile(self.gcn_norm[order_sl], B)),
                 cheb_norm=jnp.asarray(np.tile(self.cheb_norm[order], B)),
-                edge_attr=None,
+                edge_attr=ea_banded,
                 node_graph_id=jnp.repeat(jnp.arange(B, dtype=jnp.int32), bl.n_pad),
                 n_node=B * bl.n_pad,
                 n_edge=B * self.n_edge,

@@ -82,20 +82,26 @@ def build_template(
 
 
 def _take_columns(
-    array: np.ndarray, wn: WaterNetwork, keep_list: Optional[list[str]]
+    array: np.ndarray,
+    col_names: list[str],
+    keep_list: Optional[list[str]],
+    order: Optional[list[int]] = None,
 ) -> np.ndarray:
-    """Select the zarr columns of kept nodes, in kept order. Columns are in
-    canonical node order (the generator contract; reference analog
-    DataLoader.py:244-252 uses wn.node_name_list order)."""
+    """Select the zarr columns of kept nodes. ``col_names`` is the store's
+    own column-name list when recorded (``ordered_names_by_attr`` —
+    generators with skip_nodes write compacted columns), else the canonical
+    node order (reference analog DataLoader.py:244-252). ``order`` gives the
+    exact column positions to take (template kept-node order)."""
     if keep_list is None:
         return array
-    keep = set(keep_list)
-    taken = [i for i, n in enumerate(wn.node_names) if n in keep]
-    if array.shape[-1] < len(taken):
+    if array.shape[-1] < len(col_names):
         raise ValueError(
-            f"snapshot width {array.shape[-1]} < kept nodes {len(taken)}"
+            f"snapshot width {array.shape[-1]} < named columns {len(col_names)}"
         )
-    return np.take(array, taken, axis=-1)
+    if order is None:
+        keep = set(keep_list)
+        order = [i for i, n in enumerate(col_names) if n in keep]
+    return np.take(array, order, axis=-1)
 
 
 @dataclasses.dataclass
@@ -185,8 +191,19 @@ class WDNDataset:
         if num_records is not None:
             array = array[:num_records]
         keep_list = get_keep_list(wn, removal, attrs, feature)
-        array = _take_columns(array, wn, keep_list)
+        col_names = (attrs.get("ordered_names_by_attr") or {}).get(feature) or wn.node_names
+        if keep_list is not None:
+            # a node skipped at generation time has no column to reconstruct
+            have = set(col_names)
+            dropped = [nm for nm in keep_list if nm not in have]
+            if dropped:
+                print(f"WARN! {len(dropped)} kept nodes have no columns in {zip_path}; dropped")
+                keep_list = [nm for nm in keep_list if nm in have]
         tpl, kept = build_template(wn, keep_list, self.edge_attrs, name=inp_path)
+        # columns selected in the template's kept-node order so data rows and
+        # graph nodes align even for stores with reordered/compacted columns
+        col_pos = {nm: i for i, nm in enumerate(col_names)}
+        array = _take_columns(array, col_names, kept, order=[col_pos[nm] for nm in kept])
         assert array.shape[-1] == tpl.n_node, (
             f"snapshot width {array.shape[-1]} != template nodes {tpl.n_node}"
         )

@@ -72,8 +72,19 @@ class Evaluator:
         self.criterion = make_criterion(cfg.criterion)
         self._step_cache: dict = {}
         self._fwd_cache: dict = {}
+        self._sensor_cache: dict = {}
 
     def _sensor_idx(self, template) -> tuple:
+        # depends only on (cfg, template): cache to avoid re-parsing the INP
+        # on every batch of every trial
+        ck = id(template)
+        if ck in self._sensor_cache:
+            return self._sensor_cache[ck]
+        idx = self._sensor_idx_uncached(template)
+        self._sensor_cache[ck] = idx
+        return idx
+
+    def _sensor_idx_uncached(self, template) -> tuple:
         cfg = self.cfg
         if cfg.sensor_names is not None:
             names = list(cfg.sensor_names)
@@ -98,7 +109,7 @@ class Evaluator:
             def fwd(params, x_in):
                 return self.model.apply(params, x_in, graph)
 
-            self._fwd_cache[key] = fwd
+            self._fwd_cache[key] = (fwd, graph)
         return self._fwd_cache[key]
 
     def _get_metrics_fn(self, template, bs, prefix):
@@ -147,7 +158,7 @@ class Evaluator:
             req = self._sensor_idx(template) if sensors else ()
             x = jnp.asarray(xb.reshape(-1, 1))
             key = jax.random.PRNGKey(int(rng.integers(0, 2**31 - 1)))
-            mkey = (id(template), bs)
+            mkey = (id(template), bs, sensors)
             if cfg.use_same_mask and mkey in shared_mask:
                 mask = shared_mask[mkey]
             else:
@@ -156,9 +167,15 @@ class Evaluator:
                     shared=cfg.use_same_mask,
                 )
                 shared_mask[mkey] = mask
-            x_in = jnp.where(mask[:, None], 0.0, x)
 
-            fwd = self._get_fwd(template, bs)
+            fwd, graph = self._get_fwd(template, bs)
+            if graph.banded:
+                # banded graphs run in RCM-permuted padded node space
+                x = graph.pack_nodes(x, n)
+                mask = graph.pack_nodes(
+                    mask.astype(jnp.float32)[:, None], n
+                )[:, 0] > 0.5
+            x_in = jnp.where(mask[:, None], 0.0, x)
             if timer is not None:
                 warm = cfg.gpu_warmup_times if (trial == 0 and not timer.finished_warmup) else 0
                 wrapped = timer.auto_measure(fwd, bs, warmup_times=warm)

@@ -182,15 +182,34 @@ class SimpleMeanConv(nn.Module):
 
 
 class GCNConv(nn.Module):
-    """GCN conv with symmetric normalization and self-loops."""
+    """GCN conv with symmetric normalization and self-loops.
+
+    ``normalize=False`` matches PyG's flag: plain neighbor-sum aggregation
+    with no self-loops and no normalization (used by the remask-stack stem,
+    reference GraphModels.py:568)."""
 
     out_channels: int
     use_bias: bool = True
+    normalize: bool = True
 
     @nn.compact
     def __call__(self, x: jax.Array, graph: BatchedGraph) -> jax.Array:
         w = self.param("w", glorot, (x.shape[-1], self.out_channels), jnp.float32)
         xp = x @ w
+        if not self.normalize:
+            if graph.dense and graph.axis_name is None:
+                out = _dense_agg(graph.adj_mat, xp, graph)
+            elif graph.banded and graph.axis_name is None:
+                out = _band_agg(graph.band_adj, xp, graph)
+            elif graph.padded:
+                nbr = graph.gather_dp(xp)
+                out = jnp.sum(jnp.where(graph.mask_dp[..., None], nbr, 0.0), axis=1)
+            else:
+                out = ops.spmm(xp, graph.senders, graph.receivers, graph.n_node,
+                               axis_name=graph.axis_name, edge_mask=graph.edge_mask)
+            if self.use_bias:
+                out = out + self.param("bias", zeros, (self.out_channels,), jnp.float32)
+            return out
         if graph.dense and graph.axis_name is None:
             out = _dense_agg(graph.gcn_mat, xp, graph)
         elif graph.banded and graph.axis_name is None:

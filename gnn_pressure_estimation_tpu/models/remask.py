@@ -78,7 +78,7 @@ class GATResRemaskStack(nn.Module):
         )
         # frozen (non-trainable) mask token (reference Parameter(..., False))
         self.variable("constants", "mask_token", lambda: jnp.zeros((1, nc)))
-        x = GCNConv(nc, name="stem")(x, graph) + gap
+        x = GCNConv(nc, normalize=False, name="stem")(x, graph) + gap
         for i in range(self.num_blocks):
             x = GATResBlockNoMean(nc, name=f"block_{i}")(x, graph)
         return nn.Dense(self.out_channels, kernel_init=glorot, name="decoder")(x)

@@ -192,22 +192,26 @@ def _window_gather_raw(x: jax.Array, tbl: _Table, interpret: bool) -> jax.Array:
         )
         cp.start()
         cp.wait()
-        # Chunk the window axis so the in-VMEM one-hot stays small
-        # (large backward windows would otherwise exceed VMEM).
+        # Chunk the window axis so the in-VMEM one-hot stays small (large
+        # backward windows would otherwise exceed VMEM). Ceil-div with a
+        # partial tail chunk: W clamped to the array bound need not be a
+        # multiple of the chunk size.
         WC = min(W, 1024)
-        n_chunks = W // WC
-        iota_w = jax.lax.broadcasted_iota(jnp.int32, (Ep8, WC), 1)
+        n_chunks = -(-W // WC)
         # 8 unrolled sub-matmuls (Mosaic can't flatten 3-D vectors): slot
         # packing is e = a*Ep8 + j, undone by the reshape outside the kernel.
         for a in range(8):
             r_a = rel_ref[0, a]  # [Ep8]
             acc = jnp.zeros((Ep8, C), jnp.float32)
             for wchunk in range(n_chunks):
-                onehot = (r_a[:, None] == iota_w + wchunk * WC).astype(x.dtype)
+                w0 = wchunk * WC
+                wlen = min(WC, W - w0)
+                iota_w = jax.lax.broadcasted_iota(jnp.int32, (Ep8, wlen), 1)
+                onehot = (r_a[:, None] == iota_w + w0).astype(x.dtype)
                 # HIGHEST: the v5e MXU default rounds f32 operands through
                 # bf16, which would make the gather lossy; it must be exact.
                 acc = acc + jax.lax.dot_general(
-                    onehot, xwin[wchunk * WC : (wchunk + 1) * WC, :],
+                    onehot, xwin[w0 : w0 + wlen, :],
                     (((1,), (0,)), ((), ())),
                     precision=jax.lax.Precision.HIGHEST,
                     preferred_element_type=jnp.float32,

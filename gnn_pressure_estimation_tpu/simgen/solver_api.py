@@ -80,7 +80,9 @@ def solve(ns: NetworkState, backend: Optional[str] = None) -> SolverResult:
     # non-junction pressure = head - base elevation (EPANET convention for
     # tanks reports level; reservoirs ~0)
     area = np.pi * np.maximum(ns.diameter, 1e-6) ** 2 / 4.0
-    vel_fps = np.where(ns.link_type == 0, np.abs(raw.flow) / area, np.abs(raw.flow) / area)
+    # EPANET reports zero velocity for pumps (no meaningful diameter);
+    # pipes and valves use flow over cross-section
+    vel_fps = np.where(ns.link_type == 1, 0.0, np.abs(raw.flow) / area)
 
     return SolverResult(
         head=U.head_from_ft(head_ft, units),
