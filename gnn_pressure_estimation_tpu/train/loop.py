@@ -176,6 +176,22 @@ class Trainer:
     def _masked_loss_and_metrics(self, params, graph, x, y, mask, n_masked, prefix):
         x_in = jnp.where(mask[:, None], 0.0, x)
         out = self.model.apply(params, x_in, graph, training=(prefix == "train"))
+        if self.cfg.criterion in ("mse", "mae"):
+            # mask-weighted formulation: no nonzero/gather in the hot path;
+            # metrics from masked moments (algebraically identical to the
+            # gathered formulas — see utils/metrics.py)
+            mask_f = mask.astype(jnp.float32)[:, None]
+            diff = (out - y) * mask_f
+            if self.cfg.criterion == "mse":
+                loss = jnp.sum(diff * diff) / n_masked
+            else:
+                loss = jnp.sum(jnp.abs(diff)) / n_masked
+            st = self.stats
+            mo = metrics_mod.masked_moments(
+                descale_with(out, st), descale_with(y, st), mask_f
+            )
+            mets = metrics_mod.metrics_from_moments(mo, prefix)
+            return loss, mets, out
         (midx,) = jnp.nonzero(mask, size=n_masked)
         yp, yt = out[midx], y[midx]
         loss = self.criterion(yp, yt)
