@@ -1,0 +1,188 @@
+"""Per-layer activation parity harness vs the reference GATResMeanConv.
+
+BASELINE.json's acceptance gate: "verify per-layer activations allclose
+against the reference". torch_geometric cannot be installed in this
+environment, so parity is a two-machine protocol:
+
+1. HERE:  ``python tools/parity_export.py export --out parity.npz``
+   exports a fixed graph, input, our GATRes weights (in torch layout), and
+   our per-block activations.
+2. On any machine with torch_geometric:
+   ``python tools/parity_export.py reference --npz parity.npz``
+   builds the reference ``GATResMeanConv`` (GraphModels.py:454-494), loads
+   the exported weights into it, runs the same input, and appends its
+   activations to the file.
+3. ANYWHERE: ``python tools/parity_export.py compare --npz parity.npz``
+   reports max abs/rel deviation per block.
+
+Weight layout mapping (ours → PyG):
+  lin0/kernel [in, nc]            → lin0.weight [nc, in] (transposed) + bias
+  block_i/GATConv_0/w [in, H*C]   → blocks.i.conv1.lin.weight [H*C, in]
+  block_i/GATConv_0/att_src [1,H,C] → blocks.i.conv1.att_src (same shape)
+  block_i/GATConv_0/bias          → blocks.i.conv1.bias
+  (GATConv_1 ↔ conv2; SimpleConv has no params)
+  lin1/kernel [nc, 1]             → lin1.weight [1, nc] + bias
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+
+def _build_fixture(num_blocks=15, nc=32, n=60, batch=2, seed=0):
+    import jax
+    import jax.numpy as jnp
+
+    # parity is a numeric check: run on CPU (fast startup, exact matmuls)
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_default_matmul_precision", "highest")
+    import sys, os
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from gnn_pressure_estimation_tpu.core.graph import GraphTemplate
+    from gnn_pressure_estimation_tpu.models.gatres import GATRes
+
+    rng = np.random.default_rng(seed)
+    # connected random graph, both directions
+    pairs = set()
+    for i in range(1, n):
+        pairs.add((int(rng.integers(0, i)), i))
+    while len(pairs) < n + n // 2:
+        a, b = int(rng.integers(0, n)), int(rng.integers(0, n))
+        if a != b:
+            pairs.add((min(a, b), max(a, b)))
+    und = np.array(sorted(pairs), np.int32)
+    senders = np.concatenate([und[:, 0], und[:, 1]])
+    receivers = np.concatenate([und[:, 1], und[:, 0]])
+    tpl = GraphTemplate(n, senders, receivers)
+    graph = tpl.batch(batch, mode="dense")
+    x = rng.standard_normal((batch * n, 1)).astype(np.float32)
+
+    model = GATRes(num_blocks=num_blocks, channels=nc)
+    params = model.init(jax.random.PRNGKey(seed), jnp.asarray(x), graph)
+    return tpl, graph, x, model, params, und
+
+
+def cmd_export(args):
+    import jax.numpy as jnp
+
+    tpl, graph, x, model, params, und = _build_fixture(
+        args.num_blocks, args.nc, args.nodes, args.batch, args.seed
+    )
+    out, state = model.apply(
+        params, jnp.asarray(x), graph, capture_intermediates=True, mutable=["intermediates"]
+    )
+    inter = state["intermediates"]
+
+    payload = {
+        "x": x,
+        "edge_index_und": und.T,  # [2, n_und] undirected pairs
+        "n": np.int64(tpl.n_node),
+        "batch": np.int64(graph.n_graph),
+        "num_blocks": np.int64(args.num_blocks),
+        "nc": np.int64(args.nc),
+        "ours_out": np.asarray(out),
+    }
+    p = params["params"]
+    payload["w_lin0"] = np.asarray(p["lin0"]["kernel"]).T
+    payload["b_lin0"] = np.asarray(p["lin0"]["bias"])
+    payload["w_lin1"] = np.asarray(p["lin1"]["kernel"]).T
+    payload["b_lin1"] = np.asarray(p["lin1"]["bias"])
+    for i in range(args.num_blocks):
+        blk = p[f"block_{i}"]
+        for j, conv in enumerate(("GATConv_0", "GATConv_1")):
+            c = blk[conv]
+            payload[f"blk{i}_conv{j + 1}_lin_w"] = np.asarray(c["w"]).T
+            payload[f"blk{i}_conv{j + 1}_att_src"] = np.asarray(c["att_src"])
+            payload[f"blk{i}_conv{j + 1}_att_dst"] = np.asarray(c["att_dst"])
+            payload[f"blk{i}_conv{j + 1}_bias"] = np.asarray(c["bias"])
+        payload[f"ours_act_block_{i}"] = np.asarray(
+            inter[f"block_{i}"]["__call__"][0]
+        )
+    np.savez_compressed(args.npz, **payload)
+    print(f"exported fixture + ours activations → {args.npz}")
+
+
+def cmd_reference(args):
+    """Runs on a torch_geometric machine: loads exported weights into the
+    reference architecture and records its activations."""
+    import torch
+    from torch_geometric.nn import GATConv, SimpleConv
+
+    d = dict(np.load(args.npz))
+    n, B = int(d["n"]), int(d["batch"])
+    num_blocks, nc = int(d["num_blocks"]), int(d["nc"])
+
+    # disjoint-union edge_index over B copies, both directions
+    und = d["edge_index_und"]
+    ei = []
+    for b in range(B):
+        off = b * n
+        ei.append(np.concatenate([und + off, und[::-1] + off], axis=1))
+    edge_index = torch.tensor(np.concatenate(ei, axis=1), dtype=torch.long)
+    x = torch.tensor(d["x"])
+
+    convs = []
+    with torch.no_grad():
+        for i in range(num_blocks):
+            c1 = GATConv(nc, nc, 2, concat=True)
+            c2 = GATConv(nc * 2, nc, 1, concat=False)
+            for j, c in ((1, c1), (2, c2)):
+                c.lin.weight.copy_(torch.tensor(d[f"blk{i}_conv{j}_lin_w"]))
+                c.att_src.copy_(torch.tensor(d[f"blk{i}_conv{j}_att_src"]))
+                c.att_dst.copy_(torch.tensor(d[f"blk{i}_conv{j}_att_dst"]))
+                c.bias.copy_(torch.tensor(d[f"blk{i}_conv{j}_bias"]))
+            convs.append((c1, c2))
+        mean_conv = SimpleConv(aggr="mean")
+        h = x @ torch.tensor(d["w_lin0"]).T + torch.tensor(d["b_lin0"])
+        ref_acts = {}
+        for i, (c1, c2) in enumerate(convs):
+            h0 = h.clone()
+            h = torch.relu(c1(h, edge_index))
+            h = c2(h, edge_index)
+            h = mean_conv(h, edge_index) + h0
+            h = torch.relu(h)
+            ref_acts[f"ref_act_block_{i}"] = h.numpy()
+        out = h @ torch.tensor(d["w_lin1"]).T + torch.tensor(d["b_lin1"])
+    d.update(ref_acts)
+    d["ref_out"] = out.numpy()
+    np.savez_compressed(args.npz, **d)
+    print(f"reference activations appended → {args.npz}")
+
+
+def cmd_compare(args):
+    d = np.load(args.npz)
+    num_blocks = int(d["num_blocks"])
+    if "ref_out" not in d:
+        raise SystemExit("run the 'reference' step on a torch_geometric machine first")
+    worst = 0.0
+    for i in range(num_blocks):
+        a, b = d[f"ours_act_block_{i}"], d[f"ref_act_block_{i}"]
+        mx = float(np.abs(a - b).max())
+        worst = max(worst, mx)
+        print(f"block {i:2d}: max abs dev {mx:.3e}")
+    mo = float(np.abs(d["ours_out"] - d["ref_out"]).max())
+    print(f"output  : max abs dev {mo:.3e}")
+    ok = max(worst, mo) < args.atol
+    print("PARITY OK" if ok else "PARITY FAILED")
+    raise SystemExit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    for name in ("export", "reference", "compare"):
+        p = sub.add_parser(name)
+        p.add_argument("--npz", default="parity.npz")
+        if name == "export":
+            p.add_argument("--num_blocks", type=int, default=15)
+            p.add_argument("--nc", type=int, default=32)
+            p.add_argument("--nodes", type=int, default=60)
+            p.add_argument("--batch", type=int, default=2)
+            p.add_argument("--seed", type=int, default=0)
+        if name == "compare":
+            p.add_argument("--atol", type=float, default=1e-3)
+    a = ap.parse_args()
+    {"export": cmd_export, "reference": cmd_reference, "compare": cmd_compare}[a.cmd](a)
