@@ -249,6 +249,7 @@ def cmd_netgen(args):
     from gnn_pressure_estimation_tpu.data.inp import write_inp
     from gnn_pressure_estimation_tpu.simgen.netgen import make_wdn
 
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     wn = make_wdn(
         args.junctions, args.reservoirs, args.tanks, args.pumps, args.valves,
         seed=args.seed,
