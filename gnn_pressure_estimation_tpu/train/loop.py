@@ -275,9 +275,23 @@ class Trainer:
         return step
 
     # ------------------------------------------------------------------
-    def train_one_epoch(self, loader: SnapshotLoader, rng: np.random.Generator):
-        total_loss, total_graphs = 0.0, 0
+    @staticmethod
+    def _reduce_batch_stats(per_batch: list) -> tuple[float, dict]:
+        """(bs, loss, mets) device scalars → weighted epoch means, converting
+        to host floats only once (per-step float() would force a device sync
+        every batch — measured ~0.7 s/step of pure dispatch stall through the
+        remote TPU tunnel)."""
+        n = max(sum(bs for bs, _, _ in per_batch), 1)
+        total = 0.0
         sums: dict[str, float] = {}
+        for bs, loss, mets in per_batch:
+            total += float(loss) * bs
+            for mk, mv in mets.items():
+                sums[mk] = sums.get(mk, 0.0) + float(mv) * bs
+        return total / n, {mk: v / n for mk, v in sums.items()}
+
+    def train_one_epoch(self, loader: SnapshotLoader, rng: np.random.Generator):
+        per_batch = []
         for template, xb, _ in loader:
             bs = xb.shape[0]
             x = jnp.asarray(xb.reshape(-1, 1))
@@ -287,29 +301,20 @@ class Trainer:
             self.params, self.opt_state, loss, mets = step(
                 self.params, self.opt_state, x, y, key
             )
-            total_loss += float(loss) * bs
-            total_graphs += bs
-            for mk, mv in mets.items():
-                sums[mk] = sums.get(mk, 0.0) + float(mv) * bs
-        n = max(total_graphs, 1)
-        return total_loss / n, {mk: v / n for mk, v in sums.items()}
+            per_batch.append((bs, loss, mets))  # async device scalars
+        return self._reduce_batch_stats(per_batch)
 
     def eval_one_epoch(self, loader: SnapshotLoader, rng: np.random.Generator,
                        prefix: str = "val"):
-        total_loss, total_graphs = 0.0, 0
-        sums: dict[str, float] = {}
+        per_batch = []
         for template, xb, _ in loader:
             bs = xb.shape[0]
             x = jnp.asarray(xb.reshape(-1, 1))
             step = self._get_eval_step(template, bs, prefix)
             key = jax.random.PRNGKey(int(rng.integers(0, 2**31 - 1)))
             loss, mets, _, _ = step(self.params, x, x, key)
-            total_loss += float(loss) * bs
-            total_graphs += bs
-            for mk, mv in mets.items():
-                sums[mk] = sums.get(mk, 0.0) + float(mv) * bs
-        n = max(total_graphs, 1)
-        return total_loss / n, {mk: v / n for mk, v in sums.items()}
+            per_batch.append((bs, loss, mets))
+        return self._reduce_batch_stats(per_batch)
 
     # ------------------------------------------------------------------
     def fit(
