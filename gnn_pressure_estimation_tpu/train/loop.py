@@ -158,6 +158,7 @@ class Trainer:
         self.required_mask_idx = tuple(required_mask_idx)
         self._train_step_cache: dict = {}
         self._eval_step_cache: dict = {}
+        self._epoch_cache: dict = {}
         self._graph_cache: dict = {}
 
         g = sample_template.batch(1)
@@ -201,18 +202,14 @@ class Trainer:
         mets = metrics_mod.compute_all(yp_r, yt_r, prefix)
         return loss, mets, out
 
-    def _get_train_step(self, template: GraphTemplate, bs: int):
-        key = (id(template), bs)
-        if key in self._train_step_cache:
-            return self._train_step_cache[key]
+    def _train_step_core(self, template: GraphTemplate, bs: int):
+        """The un-jitted single-step function shared by the per-step and
+        scanned-epoch paths (one traced body → identical semantics)."""
         graph = self._batched_graph(template, bs)
         n = template.n_node
         k = masked_count(n, self.cfg.mask_rate)
         n_masked = bs * k
 
-        donate = (0, 1) if self.cfg.donate_state else ()
-
-        @partial(jax.jit, donate_argnums=donate)
         def step(params, opt_state, x, y, key_):
             mask = batch_node_mask(key_, bs, n, self.cfg.mask_rate)
             if graph.banded:
@@ -244,8 +241,94 @@ class Trainer:
             params2 = optax.apply_updates(params, updates)
             return params2, opt_state2, loss, mets
 
+        return step
+
+    def _get_train_step(self, template: GraphTemplate, bs: int):
+        key = (id(template), bs)
+        if key in self._train_step_cache:
+            return self._train_step_cache[key]
+        donate = (0, 1) if self.cfg.donate_state else ()
+        step = jax.jit(
+            self._train_step_core(template, bs), donate_argnums=donate
+        )
         self._train_step_cache[key] = step
         return step
+
+    def _get_train_epoch(self, template: GraphTemplate, bs: int, n_steps: int):
+        """One jitted ``lax.scan`` over ``n_steps`` training steps.
+
+        The whole epoch's batches are staged on device as one ``[S, bs*n, 1]``
+        array and dispatched in a single call — the per-step path pays a
+        host→device dispatch round-trip per batch (~hundreds of ms through a
+        remote-TPU tunnel), which dominates the ~7 ms step compute at WDN
+        scale. The reference loops batches on the host (train.py:171-183).
+        """
+        key = (id(template), bs, n_steps)
+        if key in self._epoch_cache:
+            return self._epoch_cache[key]
+        step_core = self._train_step_core(template, bs)
+        donate = (0, 1) if self.cfg.donate_state else ()
+
+        @partial(jax.jit, donate_argnums=donate)
+        def epoch(params, opt_state, xs, key_):
+            keys = jax.random.split(key_, n_steps)
+
+            def body(carry, inp):
+                p, s = carry
+                x, k_ = inp
+                p, s, loss, mets = step_core(p, s, x, x, k_)
+                return (p, s), (loss, mets)
+
+            (params, opt_state), (losses, mets) = jax.lax.scan(
+                body, (params, opt_state), (xs, keys)
+            )
+            # reduce on device: one scalar pytree back to host per epoch
+            return params, opt_state, jnp.mean(losses), {
+                mk: jnp.mean(mv) for mk, mv in mets.items()
+            }
+
+        self._epoch_cache[key] = epoch
+        return epoch
+
+    def _get_eval_epoch(self, template: GraphTemplate, bs: int, n_steps: int,
+                        prefix: str = "val"):
+        """Scanned evaluation epoch (loss/metric means only, no outputs)."""
+        key = (id(template), bs, n_steps, prefix, self.required_mask_idx)
+        if key in self._epoch_cache:
+            return self._epoch_cache[key]
+        graph = self._batched_graph(template, bs)
+        n = template.n_node
+        k = masked_count(n, self.cfg.mask_rate)
+        n_masked = bs * k
+        req = self.required_mask_idx
+
+        @jax.jit
+        def epoch(params, xs, key_):
+            keys = jax.random.split(key_, n_steps)
+
+            def body(carry, inp):
+                x, k_ = inp
+                mask = batch_node_mask(k_, bs, n, self.cfg.mask_rate,
+                                       required_idx=req)
+                if graph.banded:
+                    x_p = graph.pack_nodes(x, n)
+                    m_p = graph.pack_nodes(
+                        mask.astype(jnp.float32)[:, None], n
+                    )[:, 0] > 0.5
+                    loss, mets, _ = self._masked_loss_and_metrics(
+                        params, graph, x_p, x_p, m_p, n_masked, prefix
+                    )
+                else:
+                    loss, mets, _ = self._masked_loss_and_metrics(
+                        params, graph, x, x, mask, n_masked, prefix
+                    )
+                return carry, (loss, mets)
+
+            _, (losses, mets) = jax.lax.scan(body, None, (xs, keys))
+            return jnp.mean(losses), {mk: jnp.mean(mv) for mk, mv in mets.items()}
+
+        self._epoch_cache[key] = epoch
+        return epoch
 
     def _get_eval_step(self, template: GraphTemplate, bs: int, prefix: str = "val"):
         key = (id(template), bs, prefix, self.required_mask_idx)
@@ -290,30 +373,54 @@ class Trainer:
                 sums[mk] = sums.get(mk, 0.0) + float(mv) * bs
         return total / n, {mk: v / n for mk, v in sums.items()}
 
+    @staticmethod
+    def _group_batches(loader: SnapshotLoader):
+        """Group the epoch's batches by (template, batch-size) so each group
+        can run as one scanned device program; singleton groups fall back to
+        the per-step path (e.g. the tail partial batch)."""
+        groups: dict = {}
+        for template, xb, _ in loader:
+            k = (id(template), xb.shape[0])
+            groups.setdefault(k, (template, []))[1].append(xb)
+        return groups
+
     def train_one_epoch(self, loader: SnapshotLoader, rng: np.random.Generator):
         per_batch = []
-        for template, xb, _ in loader:
-            bs = xb.shape[0]
-            x = jnp.asarray(xb.reshape(-1, 1))
-            y = x
-            step = self._get_train_step(template, bs)
+        for (_, bs), (template, xbs) in self._group_batches(loader).items():
+            S = len(xbs)
             key = jax.random.PRNGKey(int(rng.integers(0, 2**31 - 1)))
-            self.params, self.opt_state, loss, mets = step(
-                self.params, self.opt_state, x, y, key
-            )
-            per_batch.append((bs, loss, mets))  # async device scalars
+            if S > 1:
+                epoch_fn = self._get_train_epoch(template, bs, S)
+                xs = jnp.asarray(np.stack(xbs).reshape(S, -1, 1))
+                self.params, self.opt_state, loss, mets = epoch_fn(
+                    self.params, self.opt_state, xs, key
+                )
+                per_batch.append((S * bs, loss, mets))
+            else:
+                x = jnp.asarray(xbs[0].reshape(-1, 1))
+                step = self._get_train_step(template, bs)
+                self.params, self.opt_state, loss, mets = step(
+                    self.params, self.opt_state, x, x, key
+                )
+                per_batch.append((bs, loss, mets))  # async device scalars
         return self._reduce_batch_stats(per_batch)
 
     def eval_one_epoch(self, loader: SnapshotLoader, rng: np.random.Generator,
                        prefix: str = "val"):
         per_batch = []
-        for template, xb, _ in loader:
-            bs = xb.shape[0]
-            x = jnp.asarray(xb.reshape(-1, 1))
-            step = self._get_eval_step(template, bs, prefix)
+        for (_, bs), (template, xbs) in self._group_batches(loader).items():
+            S = len(xbs)
             key = jax.random.PRNGKey(int(rng.integers(0, 2**31 - 1)))
-            loss, mets, _, _ = step(self.params, x, x, key)
-            per_batch.append((bs, loss, mets))
+            if S > 1:
+                epoch_fn = self._get_eval_epoch(template, bs, S, prefix)
+                xs = jnp.asarray(np.stack(xbs).reshape(S, -1, 1))
+                loss, mets = epoch_fn(self.params, xs, key)
+                per_batch.append((S * bs, loss, mets))
+            else:
+                x = jnp.asarray(xbs[0].reshape(-1, 1))
+                step = self._get_eval_step(template, bs, prefix)
+                loss, mets, _, _ = step(self.params, x, x, key)
+                per_batch.append((bs, loss, mets))
         return self._reduce_batch_stats(per_batch)
 
     # ------------------------------------------------------------------

@@ -104,6 +104,40 @@ def test_weighted_moment_metrics_equal_gathered(rng):
         )
 
 
+def test_scanned_epoch_matches_stepwise(rng):
+    """The lax.scan epoch path produces exactly the same parameter trajectory
+    as jitting the shared step core once per batch with the same split keys."""
+    from gnn_pressure_estimation_tpu.models.gatres import GATRes
+    from gnn_pressure_estimation_tpu.train import TrainConfig
+    from gnn_pressure_estimation_tpu.train.loop import Trainer
+    from helpers import random_graph
+
+    tpl = random_graph(rng, n=14, extra_edges=8)
+    cfg = TrainConfig(batch_size=4, mask_rate=0.5, criterion="mse",
+                      donate_state=False, seed=1)
+    trainer = Trainer(GATRes(num_blocks=1, channels=4), cfg, NormStats(), tpl)
+    S, bs = 3, 4
+    xbs = [rng.standard_normal((bs, 14)).astype(np.float32) for _ in range(S)]
+    key = jax.random.PRNGKey(7)
+
+    epoch_fn = trainer._get_train_epoch(tpl, bs, S)
+    xs = jnp.asarray(np.stack(xbs).reshape(S, -1, 1))
+    p_scan, _, loss_scan, mets_scan = epoch_fn(
+        trainer.params, trainer.opt_state, xs, key
+    )
+
+    step = jax.jit(trainer._train_step_core(tpl, bs))
+    p, s = trainer.params, trainer.opt_state
+    losses = []
+    for x, k in zip(xbs, jax.random.split(key, S)):
+        p, s, loss, mets = step(p, s, jnp.asarray(x.reshape(-1, 1)),
+                                jnp.asarray(x.reshape(-1, 1)), k)
+        losses.append(float(loss))
+    np.testing.assert_allclose(float(loss_scan), np.mean(losses), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(p_scan), jax.tree.leaves(p)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
 def test_multi_dataset_training(rng, tmp_path):
     """Two different templates in one dataset: loader emits homogeneous
     batches; the trainer compiles one step per template and learns."""
