@@ -8,13 +8,16 @@ readable by stock ``zarr`` (and vice versa):
 
 - groups (``.zgroup``), arrays (``.zarray``), JSON attrs (``.zattrs``)
 - C-order little-endian numeric dtypes, regular chunk grids
-- compressors: ``null`` (raw) and ``zlib`` (stdlib). The reference's
-  Blosc-lz4 (TokenGeneratorByRange.py:592) needs the blosc C library, which
-  is intentionally not reimplemented; reading a Blosc-compressed store raises
-  a clear error telling the user to re-encode.
+- compressors: write ``null`` (raw), ``zlib`` (stdlib) or ``blosc``
+  (the reference's own Blosc-lz4+shuffle chunk encoding,
+  TokenGeneratorByRange.py:592, via the in-repo codec in
+  :mod:`gnn_pressure_estimation_tpu.data.codecs`); read additionally
+  accepts gzip, standalone lz4 and zstd chunks, and blosc frames whose
+  inner codec is lz4, zlib or zstd — i.e. any store the reference
+  actually produces loads here.
 
-Storage is not the compute path, so plain Python + stdlib zlib is the right
-tool here; the C++ effort goes into the hydraulic solver instead.
+Storage is not the compute path, so plain Python + NumPy codecs are the
+right tool here; the C++ effort goes into the hydraulic solver instead.
 """
 
 from __future__ import annotations
@@ -67,7 +70,7 @@ class ZarrZipWriter:
     """
 
     def __init__(self, path: str, compressor: Optional[str] = "zlib", clevel: int = 5):
-        assert compressor in (None, "zlib")
+        assert compressor in (None, "zlib", "blosc")
         self.path = path
         self.compressor = compressor
         self.clevel = clevel
@@ -109,7 +112,14 @@ class ZarrZipWriter:
             arr.shape[i] if c in (-1, None) else min(int(c), max(arr.shape[i], 1))
             for i, c in enumerate(chunks)
         )
-        comp = {"id": "zlib", "level": self.clevel} if self.compressor else None
+        if self.compressor == "blosc":
+            # the reference's own chunk encoding (numcodecs Blosc lz4+shuffle)
+            comp = {"id": "blosc", "cname": "lz4", "clevel": self.clevel,
+                    "shuffle": 1, "blocksize": 0}
+        elif self.compressor:
+            comp = {"id": "zlib", "level": self.clevel}
+        else:
+            comp = None
         meta = {
             "zarr_format": 2,
             "shape": list(arr.shape),
@@ -134,7 +144,11 @@ class ZarrZipWriter:
                 pad[tuple(slice(0, d) for d in block.shape)] = block
                 block = pad
             raw = np.ascontiguousarray(block).tobytes()
-            if self.compressor:
+            if self.compressor == "blosc":
+                from gnn_pressure_estimation_tpu.data.codecs import blosc_compress
+
+                raw = blosc_compress(raw, typesize=arr.dtype.itemsize)
+            elif self.compressor:
                 raw = zlib.compress(raw, self.clevel)
             name = ".".join(map(str, idx)) if idx else "0"
             self._put(f"{path}/{name}", raw)
@@ -236,15 +250,12 @@ class ZarrZipReader:
         return json.loads(self._get(key))
 
     def read_array(self, path: str) -> np.ndarray:
+        from gnn_pressure_estimation_tpu.data.codecs import decode_chunk
+
         meta = json.loads(self._get(f"{path}/.zarray"))
         comp = meta.get("compressor")
-        comp_id = comp["id"] if comp else None
-        if comp_id not in (None, "zlib", "gzip"):
-            raise ValueError(
-                f"array {path!r} uses compressor {comp_id!r}; this reader "
-                "supports null/zlib — re-encode the store (e.g. with "
-                "`python -m gnn_pressure_estimation_tpu.data.zarrzip reencode`)"
-            )
+        if meta.get("filters"):
+            raise ValueError(f"array {path!r} uses zarr filters (unsupported)")
         dtype = _parse_dtype(meta["dtype"])
         shape = tuple(meta["shape"])
         chunks = tuple(meta["chunks"])
@@ -255,9 +266,7 @@ class ZarrZipReader:
             key = f"{path}/{name}"
             if key not in self._names:
                 continue  # missing chunk = fill_value
-            raw = self._get(key)
-            if comp_id in ("zlib", "gzip"):
-                raw = zlib.decompress(raw)
+            raw = decode_chunk(self._get(key), comp, dtype)
             block = np.frombuffer(raw, dtype).reshape(chunks)
             slices = tuple(
                 slice(i * c, min((i + 1) * c, s))

@@ -50,20 +50,108 @@ def test_zarrzip_directory_store_and_zip(tmp_path, rng):
 
 
 def test_zarrzip_unsupported_compressor_message(tmp_path):
-    import json, zipfile
+    """Truly unsupported codecs (snappy standalone, blosclz inner) raise a
+    clear error naming the codec."""
+    import json, struct, zipfile
 
-    zp = str(tmp_path / "blosc.zip")
+    # a blosc frame whose inner codec is blosclz (codec id 0, non-split flag)
+    blosclz_frame = struct.pack("<BBBBIII", 2, 1, 0x10, 8, 16, 16, 16 + 4 + 4 + 8)
+    blosclz_frame += struct.pack("<I", 20) + struct.pack("<i", 8) + b"\x01" * 8
+
+    zp = str(tmp_path / "bad.zip")
     with zipfile.ZipFile(zp, "w") as zf:
         zf.writestr(".zgroup", json.dumps({"zarr_format": 2}))
-        zf.writestr("x/.zarray", json.dumps({
-            "zarr_format": 2, "shape": [2], "chunks": [2], "dtype": "<f8",
-            "compressor": {"id": "blosc", "cname": "lz4"}, "fill_value": 0,
-            "filters": None, "order": "C",
-        }))
+        for name, comp in (("x", {"id": "snappy"}),
+                           ("y", {"id": "blosc", "cname": "blosclz"})):
+            zf.writestr(f"{name}/.zarray", json.dumps({
+                "zarr_format": 2, "shape": [2], "chunks": [2], "dtype": "<f8",
+                "compressor": comp, "fill_value": 0,
+                "filters": None, "order": "C",
+            }))
         zf.writestr("x/0", b"\x00" * 16)
+        zf.writestr("y/0", blosclz_frame)
     with ZarrZipReader(zp) as r:
-        with pytest.raises(ValueError, match="blosc"):
+        with pytest.raises(ValueError, match="snappy"):
             r.read_array("x")
+        with pytest.raises(ValueError, match="blosclz"):
+            r.read_array("y")
+
+
+def test_lz4_block_roundtrip(rng):
+    from gnn_pressure_estimation_tpu.data.codecs import lz4_compress, lz4_decompress
+
+    cases = [
+        b"",
+        b"a",
+        b"abcd" * 1000,                      # highly repetitive → matches
+        bytes(rng.integers(0, 256, 5000, dtype=np.uint8)),   # incompressible
+        np.sin(np.arange(2048) * 0.1).astype(np.float64).tobytes(),
+        b"\x00" * 10000,                     # overlapping-match RLE case
+    ]
+    for data in cases:
+        comp = lz4_compress(data)
+        assert lz4_decompress(comp, len(data)) == data
+    # repetitive data actually compresses
+    assert len(lz4_compress(b"abcd" * 1000)) < 200
+
+
+def test_blosc_frame_roundtrip(rng):
+    """Split (typesize lanes) and non-split frames, all inner codecs, with
+    and without shuffle, including leftover partial blocks."""
+    from gnn_pressure_estimation_tpu.data.codecs import (
+        blosc_compress,
+        blosc_decompress,
+    )
+
+    payloads = [
+        np.arange(5000, dtype=np.float64).tobytes(),          # split path, f8
+        rng.standard_normal(777).astype(np.float32).tobytes(),  # leftover block
+        bytes(rng.integers(0, 256, 100, dtype=np.uint8)),     # tiny, no split
+        b"",
+    ]
+    for codec in ("lz4", "zlib", "zstd"):
+        for shuf in (True, False):
+            for ts in (1, 4, 8):
+                for data in payloads:
+                    frame = blosc_compress(data, typesize=ts, codec=codec,
+                                           do_shuffle=shuf)
+                    assert blosc_decompress(frame) == data, (codec, shuf, ts)
+    # force multiple blocks (blocksize smaller than payload)
+    data = np.arange(40000, dtype=np.float64).tobytes()
+    frame = blosc_compress(data, typesize=8, blocksize=4096)
+    assert blosc_decompress(frame) == data
+    assert len(frame) < len(data) // 2  # it really compresses
+
+
+def test_dataset_reads_blosc_store(tmp_path, rng):
+    """A store written the reference's way (Blosc-lz4+shuffle chunks,
+    TokenGeneratorByRange.py:592) loads through the normal dataset path."""
+    wn = make_minitown()
+    n_all = wn.n_nodes
+    zp = str(tmp_path / "blosc_ds.zip")
+    pressure = (rng.random((12, n_all)) * 60 + 20).astype(np.float64)
+    with ZarrZipWriter(zp, compressor="blosc") as w:
+        w.set_attrs("", {"ordered_names_by_attr": {"pressure": wn.node_names}})
+        w.create_group("pressure")
+        w.write_array("pressure/train", pressure[:8], chunks=(4, n_all))
+        w.write_array("pressure/valid", pressure[8:10], chunks=(4, n_all))
+        w.write_array("pressure/test", pressure[10:], chunks=(4, n_all))
+        w.set_attrs("pressure", {
+            "min": float(pressure[:8].min()), "max": float(pressure[:8].max()),
+            "mean": float(pressure[:8].mean()), "std": float(pressure[:8].std()),
+        })
+    inp = str(tmp_path / "mini.inp")
+    write_inp(wn, inp)
+    ds = WDNDataset([zp], [inp], feature="pressure", from_set="train",
+                    removal="keep_junction", norm_type="znorm")
+    keep_names = get_keep_list(wn, "keep_junction", None, "pressure")
+    keep_idx = [wn.node_names.index(n) for n in keep_names]
+    assert ds.members[0].array.shape == (8, len(keep_idx))
+    # values survive the codec bit-exactly (descale and compare)
+    descaled = ds.members[0].array * ds.stats.std + ds.stats.mean
+    np.testing.assert_allclose(
+        descaled, pressure[:8][:, keep_idx].astype(np.float32), rtol=1e-6
+    )
 
 
 @pytest.mark.parametrize("removal,expect", [
