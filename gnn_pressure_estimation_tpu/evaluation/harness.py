@@ -148,8 +148,7 @@ class Evaluator:
         cfg = self.cfg
         rng = rng or np.random.default_rng(cfg.seed + trial)
         loader = SnapshotLoader(dataset, cfg.batch_size, shuffle=False)
-        total_loss, total_graphs = 0.0, 0
-        sums: dict[str, float] = {}
+        per_batch = []  # (bs, loss, mets) async device scalars
         shared_mask = {}
 
         for template, xb, _ in loader:
@@ -184,12 +183,17 @@ class Evaluator:
                 out = fwd(self.params, x_in)
 
             loss, mets = self._get_metrics_fn(template, bs, prefix)(out, x, mask)
+            per_batch.append((bs, loss, mets))
+
+        # one host sync at trial end (per-batch float() forces a device
+        # round-trip each batch; noisyNN runs N² trials and feels it)
+        ntot = max(sum(bs for bs, _, _ in per_batch), 1)
+        total_loss = 0.0
+        sums: dict[str, float] = {}
+        for bs, loss, mets in per_batch:
             total_loss += float(loss) * bs
-            total_graphs += bs
             for mk, mv in mets.items():
                 sums[mk] = sums.get(mk, 0.0) + float(mv) * bs
-
-        ntot = max(total_graphs, 1)
         return total_loss / ntot, {mk: v / ntot for mk, v in sums.items()}
 
     # -- public API ------------------------------------------------------

@@ -297,10 +297,22 @@ class ChebConv(nn.Module):
         if self.K > 1:
             tx = lap(x)
             out = out + tx @ w[1]
+        if 2 < self.K <= 8:
+            # small K: unroll so XLA can fuse across terms
             for k in range(2, self.K):
                 tx_next = 2.0 * lap(tx) - tx_prev
                 out = out + tx_next @ w[k]
                 tx_prev, tx = tx, tx_next
+        elif self.K > 8:
+            # large K (GraphConvWat uses K=240): roll the recurrence into one
+            # lax.scan so the compiled program is O(1) in K instead of K
+            # unrolled matmul pairs (compile time and HLO size)
+            def body(carry, wk):
+                t_prev, t, acc = carry
+                t_next = 2.0 * lap(t) - t_prev
+                return (t, t_next, acc + t_next @ wk), None
+
+            (_, _, out), _ = jax.lax.scan(body, (tx_prev, tx, out), w[2:])
         if self.use_bias:
             out = out + self.param("bias", zeros, (self.out_channels,), jnp.float32)
         return out

@@ -104,16 +104,19 @@ class ChebNet(nn.Module):
 
 class GraphConvWat(nn.Module):
     """BME-SmartLab GraphConvWat reproduction (reference GraphModels.py:154-168):
-    ChebConv 120/60/30 with K = 240/120/20, SiLU, bias-free K=1 head."""
+    ChebConv 120/60/30 with K = 240/120/20, SiLU, bias-free K=1 head.
+    ``channels``/``ks`` are parametrized for tests; defaults match the paper."""
 
     out_channels: int = 1
+    channels: tuple = (120, 60, 30)
+    ks: tuple = (240, 120, 20, 1)
 
     @nn.compact
     def __call__(self, x, graph: BatchedGraph, training: bool = False):
-        x = nn.silu(ChebConv(120, K=240)(x, graph))
-        x = nn.silu(ChebConv(60, K=120)(x, graph))
-        x = nn.silu(ChebConv(30, K=20)(x, graph))
-        return ChebConv(self.out_channels, K=1, use_bias=False)(x, graph)
+        x = nn.silu(ChebConv(self.channels[0], K=self.ks[0])(x, graph))
+        x = nn.silu(ChebConv(self.channels[1], K=self.ks[1])(x, graph))
+        x = nn.silu(ChebConv(self.channels[2], K=self.ks[2])(x, graph))
+        return ChebConv(self.out_channels, K=self.ks[3], use_bias=False)(x, graph)
 
 
 class MGCN(nn.Module):

@@ -276,6 +276,11 @@ class ScenarioExecutor:
             mean = pressure.mean()
             cv = float(pressure.var() / mean) if mean != 0 else np.inf
             error = error or bool(cv > opts.mean_cv_threshold)
+        if opts.flowrate_threshold is not None and not error:
+            # reject scenes with any near-stagnant link flow; the reference
+            # accepts this flag but left the check commented out
+            # (Executorv7.py:426-427) — here it is wired for real
+            error = error or bool(np.abs(res.flow).min() < opts.flowrate_threshold)
 
         results = {}
         for attr in opts.attributes():

@@ -235,6 +235,10 @@ def solve(ns: NetworkState, max_iter: int | None = None, accuracy: float | None 
             # OPEN valve (or TCV active = throttling loss, GPV ~ open):
             # h = m·q|q| with m from the loss coefficient; lossless open
             # valves fall back to a tiny linear resistance (EPANET CSMALL).
+            # Known simplification: EPANET models an ACTIVE GPV through its
+            # user-supplied headloss CURVE (EN hydraul.c gpvcoeff); curves
+            # are not part of this framework's INP subset, so a GPV behaves
+            # as an open valve with its minor-loss coefficient.
             K = ns.valve_setting[li] if (vt == TCV and st == ACTIVE) else ns.minor_loss[li]
             m = 0.02517 * K / max(ns.diameter[li], 1e-6) ** 4
             qa = max(absq[li], TINY)

@@ -445,11 +445,35 @@ class Trainer:
             else None
         )
 
+        # model-update drift vs epoch 1 (reference train.py:477-494 logs
+        # mean |out - first_out|; there `out` is the last *train* batch whose
+        # input changes per epoch — here a fixed probe batch makes the drift
+        # well-defined)
+        probe = drift_ref = None
+        accum_update = 0.0
+        if cfg.log_gradient:
+            for template, xb, _ in val_loader:
+                probe = (template, xb.shape[0], jnp.asarray(xb.reshape(-1, 1)))
+                break
+
         best = {"loss": math.inf, "epoch": 0, "metrics": {}}
         t0 = time.time()
         for epoch in range(1, cfg.epochs + 1):
             tr_loss, tr_mets = self.train_one_epoch(train_loader, rng)
             val_loss, val_mets = self.eval_one_epoch(val_loader, rng)
+
+            if probe is not None:
+                template, bs, x = probe
+                graph = self._batched_graph(template, bs)
+                xp = graph.pack_nodes(x, template.n_node) if graph.banded else x
+                out = jax.jit(self.model.apply)(self.params, xp, graph)
+                if drift_ref is None:
+                    drift_ref, model_update = out, 0.0
+                else:
+                    model_update = float(jnp.mean(jnp.abs(out - drift_ref)))
+                accum_update += model_update
+                tr_mets = {**tr_mets, "model_update": model_update,
+                           "accum_model_update": accum_update}
 
             if val_loss < best["loss"]:
                 best = {"loss": val_loss, "epoch": epoch, "metrics": val_mets}

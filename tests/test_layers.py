@@ -57,6 +57,43 @@ def test_chebconv_matches_dense_oracle(rng):
     np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-4, atol=1e-4)
 
 
+def test_chebconv_scan_path_matches_dense_oracle(rng):
+    """K > 8 takes the lax.scan recurrence — same math as the unrolled path."""
+    tpl = random_graph(rng, n=14, extra_edges=6)
+    g = tpl.batch(1)
+    x = rng.standard_normal((14, 5)).astype(np.float32)
+    layer = layers.ChebConv(out_channels=3, K=12)
+    params = layer.init(jax.random.PRNGKey(1), jnp.asarray(x), g)
+    out = layer.apply(params, jnp.asarray(x), g)
+    p = params["params"]
+    expect = dense_cheb(
+        x.astype(np.float64), tpl,
+        np.asarray(p["w"], np.float64), np.asarray(p["bias"], np.float64),
+    )
+    np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-4, atol=1e-4)
+    # gradients flow through the scan carry
+    grads = jax.grad(
+        lambda pp, xx: jnp.sum(layer.apply(pp, xx, g) ** 2)
+    )(params, jnp.asarray(x))
+    assert all(np.isfinite(np.asarray(a)).all() for a in jax.tree.leaves(grads))
+    assert np.abs(np.asarray(grads["params"]["w"][11])).sum() > 0  # last K term used
+
+
+def test_graphconvwat_full_k_forward(rng):
+    """The real preset (K=240/120/20/1) compiles and runs — the scan
+    recurrence keeps the program size O(1) in K (reference GraphModels.py:154-168)."""
+    from gnn_pressure_estimation_tpu.models import select_model
+
+    model, _ = select_model("graphconvwat")
+    tpl = random_graph(rng, n=16, extra_edges=8)
+    g = tpl.batch(2)
+    x = jnp.asarray(rng.standard_normal((32, 1)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), x, g)
+    out = jax.jit(model.apply)(params, x, g)
+    assert out.shape == (32, 1)
+    assert np.isfinite(np.asarray(out)).all()
+
+
 def test_gcn2conv_formula(rng):
     tpl = random_graph(rng, n=10, extra_edges=4)
     g = tpl.batch(1)

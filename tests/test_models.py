@@ -16,7 +16,7 @@ SMALL_OVERRIDES = {
     "gcn2": dict(num_blocks=3, channels=8),
     "gat": dict(num_blocks=3, channels=8),
     "chebnet": dict(channels=8),
-    "graphconvwat": None,  # K=240 too big for a quick test; covered by chebnet
+    "graphconvwat": dict(channels=(12, 8, 6), ks=(10, 6, 4, 1)),
     "mgcn": dict(latent_dim=8, n_aggr=2),
 }
 
@@ -24,8 +24,6 @@ SMALL_OVERRIDES = {
 @pytest.mark.parametrize("name", sorted(MODEL_REGISTRY))
 def test_model_forward_shapes(rng, name):
     over = SMALL_OVERRIDES.get(name)
-    if over is None and name == "graphconvwat":
-        pytest.skip("graphconvwat preset = ChebNet with K=240; logic covered")
     model, preset = select_model(name)
     model = type(model)(**{**{f.name: getattr(model, f.name) for f in model.__dataclass_fields__.values() if f.name not in ("parent", "name")}, **over})
     edge_dim = 2 if preset.edge_attrs else None
