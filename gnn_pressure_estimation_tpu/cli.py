@@ -54,6 +54,17 @@ def _add_train_flags(p: argparse.ArgumentParser):
     p.add_argument("--seed", default=42, type=int)
     p.add_argument("--device", default=None, choices=["tpu", "cpu", None],
                    help="cpu forces the CPU backend")
+    p.add_argument("--mesh", default=None, type=str, metavar="DP,GP",
+                   help="train over a data×graph device mesh, e.g. '4,2' "
+                        "(whole-graph shards for small templates, banded "
+                        "halo-exchange node shards for large ones)")
+    p.add_argument("--distributed", action="store_true",
+                   help="call jax.distributed.initialize() first (multi-host "
+                        "pod slice; pair with --coordinator on non-TPU envs)")
+    p.add_argument("--coordinator", default=None, type=str,
+                   help="coordinator address host:port for --distributed")
+    p.add_argument("--num_processes", default=None, type=int)
+    p.add_argument("--process_id", default=None, type=int)
     p.add_argument("--log_method", default=None, choices=["wandb", None])
     p.add_argument("--log_gradient", action="store_true",
                    help="track total/block gradient norms per epoch")
@@ -86,7 +97,22 @@ def cmd_train(args):
     if args.device == "cpu":
         import jax
 
+        if args.mesh:
+            # enough virtual CPU devices for the mesh (effective only if the
+            # CPU backend has not initialized yet)
+            need = 1
+            for v in args.mesh.split(","):
+                need *= int(v)
+            flags = os.environ.get("XLA_FLAGS", "")
+            if "xla_force_host_platform_device_count" not in flags:
+                os.environ["XLA_FLAGS"] = (
+                    flags + f" --xla_force_host_platform_device_count={need}"
+                )
         jax.config.update("jax_platforms", "cpu")
+    if args.distributed:
+        from gnn_pressure_estimation_tpu.parallel import init_distributed
+
+        init_distributed(args.coordinator, args.num_processes, args.process_id)
     from gnn_pressure_estimation_tpu.models import select_model
     from gnn_pressure_estimation_tpu.train import TrainConfig, Trainer, load_checkpoint
     from gnn_pressure_estimation_tpu.utils.logging import make_logger
@@ -105,7 +131,16 @@ def cmd_train(args):
         save_path=args.save_path, model_name=args.model, variant=args.variant,
         log_gradient=args.log_gradient,
     )
-    trainer = Trainer(model, cfg, train_ds.stats, train_ds.members[0].template)
+    if args.mesh:
+        from gnn_pressure_estimation_tpu.parallel import MeshTrainer, make_mesh
+
+        dp, gp = (int(v) for v in args.mesh.split(","))
+        mesh = make_mesh(dp=dp, gp=gp)
+        trainer = MeshTrainer(model, cfg, train_ds.stats,
+                              train_ds.members[0].template, mesh)
+        print(f"mesh {dp}×{gp} ({trainer.strategy} strategy)")
+    else:
+        trainer = Trainer(model, cfg, train_ds.stats, train_ds.members[0].template)
     print(f"Model: {args.model}; parameters: {trainer.n_params}")
     if args.model_path:
         params, _, meta = load_checkpoint(args.model_path, trainer.params)

@@ -218,11 +218,11 @@ class GraphTemplate:
         }
         return self._degree_cache
 
-    def band_layout(self, block: int = 256):
+    def band_layout(self, block: int = 256, lane: int = 128):
         if not hasattr(self, "_band_cache") or self._band_cache is None:
             from gnn_pressure_estimation_tpu.ops.banded import build_band_layout
 
-            self._band_cache = build_band_layout(self, block=block)
+            self._band_cache = build_band_layout(self, block=block, lane=lane)
         return self._band_cache
 
     def batch(
@@ -501,6 +501,13 @@ class BatchedGraph:
     @property
     def banded(self) -> bool:
         return self.band_adj_mask is not None and self.axis_name is None
+
+    @property
+    def halo(self) -> bool:
+        """Distributed banded mode: this instance holds one device's block-row
+        slice of the band; window extensions come from neighbor devices via
+        ppermute halo exchange (parallel/halo.py) instead of zero padding."""
+        return self.band_adj_mask is not None and self.axis_name is not None
 
     # -- banded-space packing (caller-side, once per step) -----------------
     def pack_nodes(self, x_flat: jax.Array, n_orig: int) -> jax.Array:

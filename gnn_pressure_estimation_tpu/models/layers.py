@@ -37,12 +37,28 @@ def _padded_weighted_agg(gather_fn, x: jax.Array, w_dp: jax.Array) -> jax.Array:
     return jnp.einsum("nd,ndc->nc", w_dp, nbr)
 
 
+def _windows(xb: jax.Array, graph: BatchedGraph) -> jax.Array:
+    """[B, n_loc, C] → [nB, B, W, C] band windows.  In halo mode the window
+    extension rows come from neighbor devices over ICI (ppermute) instead of
+    zero padding — same static-slice program either way."""
+    if graph.halo:
+        from gnn_pressure_estimation_tpu.parallel.halo import halo_exchange
+
+        nB = len(graph.band_win_start)
+        BLK = graph.band_n_pad // nB
+        U, R = bops.halo_widths(graph.band_win_start, graph.band_W,
+                                graph.band_n_pad)
+        x_ext = halo_exchange(xb, U, R, graph.axis_name)
+        return bops.band_windows_ext(x_ext, nB, BLK, graph.band_W)
+    return bops.band_windows(xb, graph.band_win_start, graph.band_W)
+
+
 def _band_agg(band: jax.Array, x: jax.Array, graph: BatchedGraph) -> jax.Array:
     """Banded-dense aggregation: static window slices + batched matmul
     (ops/banded.py). x is in perm+padded node space."""
     B, n_pad = graph.n_graph, graph.band_n_pad
     xb = x.reshape(B, n_pad, -1)
-    wins = bops.band_windows(xb, graph.band_win_start, graph.band_W)
+    wins = _windows(xb, graph)
     return bops.band_spmm(band, wins).reshape(B * n_pad, -1)
 
 
@@ -119,7 +135,7 @@ class GATConv(nn.Module):
                 )
                 attn = jax.nn.softmax(logits.astype(jnp.float32), axis=2).astype(self.dtype)
                 out = jnp.einsum("bijh,bjhc->bihc", attn, xp_b).reshape(-1, H, C)
-        elif graph.banded and ax is None and self.add_self_loops:
+        elif (graph.banded or graph.halo) and self.add_self_loops:
             # Banded local attention (large graphs): band windows over the
             # RCM ordering, masked softmax within each window.
             B, n_pad = graph.n_graph, graph.band_n_pad
@@ -127,8 +143,8 @@ class GATConv(nn.Module):
             a_src_b = alpha_src.reshape(B, n_pad, H)
             a_dst_b = alpha_dst.reshape(B, n_pad, H)
             xp_b = xp.reshape(B, n_pad, H * C)
-            a_src_win = bops.band_windows(a_src_b, graph.band_win_start, W)
-            xp_win = bops.band_windows(xp_b, graph.band_win_start, W)
+            a_src_win = _windows(a_src_b, graph)
+            xp_win = _windows(xp_b, graph)
             xp_win = xp_win.reshape(xp_win.shape[:3] + (H, C))
             out = bops.band_attention(
                 a_dst_b, a_src_win, xp_win, graph.band_adj_mask,
@@ -170,7 +186,7 @@ class SimpleMeanConv(nn.Module):
     def __call__(self, x: jax.Array, graph: BatchedGraph) -> jax.Array:
         if graph.dense and graph.axis_name is None:
             return _dense_agg(graph.mean_mat, x, graph)
-        if graph.banded and graph.axis_name is None:
+        if graph.banded or graph.halo:
             return _band_agg(graph.band_mean, x, graph)
         if graph.padded:
             nbr = graph.gather_dp(x)                             # [N, D, C]
@@ -199,7 +215,7 @@ class GCNConv(nn.Module):
         if not self.normalize:
             if graph.dense and graph.axis_name is None:
                 out = _dense_agg(graph.adj_mat, xp, graph)
-            elif graph.banded and graph.axis_name is None:
+            elif graph.banded or graph.halo:
                 out = _band_agg(graph.band_adj, xp, graph)
             elif graph.padded:
                 nbr = graph.gather_dp(xp)
@@ -212,7 +228,7 @@ class GCNConv(nn.Module):
             return out
         if graph.dense and graph.axis_name is None:
             out = _dense_agg(graph.gcn_mat, xp, graph)
-        elif graph.banded and graph.axis_name is None:
+        elif graph.banded or graph.halo:
             out = _band_agg(graph.band_gcn, xp, graph)
         elif graph.padded:
             out = _padded_weighted_agg(graph.gather_dp_sl, xp, graph.gcn_dp_sl)
@@ -247,7 +263,7 @@ class GCN2Conv(nn.Module):
         beta = math.log(self.theta / self.layer_index + 1.0)
         if graph.dense and graph.axis_name is None:
             hx = _dense_agg(graph.gcn_mat, x, graph)
-        elif graph.banded and graph.axis_name is None:
+        elif graph.banded or graph.halo:
             hx = _band_agg(graph.band_gcn, x, graph)
         elif graph.padded:
             hx = _padded_weighted_agg(graph.gather_dp_sl, x, graph.gcn_dp_sl)
@@ -283,7 +299,7 @@ class ChebConv(nn.Module):
         def lap(v):
             if graph.dense and graph.axis_name is None:
                 return _dense_agg(graph.cheb_mat, v, graph)
-            if graph.banded and graph.axis_name is None:
+            if graph.banded or graph.halo:
                 return _band_agg(graph.band_cheb, v, graph)
             if graph.padded:
                 return _padded_weighted_agg(graph.gather_dp, v, graph.cheb_dp)
@@ -353,7 +369,7 @@ class GINConv(nn.Module):
     def __call__(self, x: jax.Array, graph: BatchedGraph, training: bool = False) -> jax.Array:
         if graph.dense and graph.axis_name is None:
             agg = _dense_agg(graph.adj_mat, x, graph)
-        elif graph.banded and graph.axis_name is None:
+        elif graph.banded or graph.halo:
             agg = _band_agg(graph.band_adj, x, graph)
         elif graph.padded:
             nbr = graph.gather_dp(x)

@@ -49,7 +49,7 @@ class BandLayout:
     adj_band: np.ndarray      # [nB, BLK, W] raw adjacency (no SL)
 
 
-def build_band_layout(template, block: int = 256) -> BandLayout:
+def build_band_layout(template, block: int = 256, lane: int = 128) -> BandLayout:
     import scipy.sparse as sp
     from scipy.sparse.csgraph import reverse_cuthill_mckee
 
@@ -76,9 +76,16 @@ def build_band_layout(template, block: int = 256) -> BandLayout:
         b = r // block
         lo[b] = min(lo[b], s)
         hi[b] = max(hi[b], s + 1)
-    width = int((hi - lo).max())
-    W = min(_round_up(width, 128), _round_up(n_pad, 8))
-    win_start = np.minimum(lo, max(n_pad - W, 0)).astype(np.int32)
+    # UNIFORM window offsets: every block's window starts exactly U rows
+    # before its own first row (win_start[b] = b·BLK − U, possibly negative —
+    # extraction pads instead of clamping).  Uniformity makes the extraction
+    # a static-slice program independent of the block index, which is what
+    # lets the distributed halo-exchange path run one identical SPMD program
+    # on every device (parallel/halo.py).
+    U = int((np.arange(nB) * block - lo).max())
+    V = int((hi - np.arange(nB) * block).max())
+    W = _round_up(U + max(V, block), lane)  # lane-aligned window width
+    win_start = (np.arange(nB, dtype=np.int64) * block - U).astype(np.int32)
 
     adj = np.zeros((nB, block, W), bool)
     mean_b = np.zeros((nB, block, W), np.float32)
@@ -127,11 +134,41 @@ def build_band_layout(template, block: int = 256) -> BandLayout:
 
 # ---- jit-side ops ----------------------------------------------------------
 
+def halo_widths(win_start: tuple, W: int, n_pad: int) -> tuple[int, int]:
+    """(U, R): rows of left/right context each block window reaches beyond
+    its own rows. ``win_start`` must be the uniform layout (b·BLK − U)."""
+    nB = len(win_start)
+    BLK = n_pad // nB
+    U = -int(win_start[0])
+    R = W - U - BLK
+    assert all(int(ws) == b * BLK - U for b, ws in enumerate(win_start)), (
+        "band layout is not uniform-offset; rebuild with build_band_layout"
+    )
+    assert U >= 0 and R >= 0, (U, R, W, BLK)
+    return U, R
+
+
+def band_windows_ext(x_ext: jax.Array, nB: int, BLK: int, W: int) -> jax.Array:
+    """Extract block windows from an already-extended node array.
+
+    x_ext: [B, U + nB·BLK + R, C] (zero pads on one chip, halo rows from
+    neighbor devices in the distributed path) → [nB, B, W, C]; block ``b``'s
+    window is rows [b·BLK, b·BLK + W) of the extended array.
+    """
+    return jnp.stack(
+        [jax.lax.slice_in_dim(x_ext, b * BLK, b * BLK + W, axis=1)
+         for b in range(nB)]
+    )
+
+
 def band_windows(x_bp: jax.Array, layout_win_start: tuple, W: int) -> jax.Array:
     """x_bp: [B, n_pad, C] → [nB, B, W, C] static window slices."""
-    return jnp.stack(
-        [jax.lax.slice_in_dim(x_bp, ws, ws + W, axis=1) for ws in layout_win_start]
-    )
+    nB = len(layout_win_start)
+    n_pad = x_bp.shape[1]
+    BLK = n_pad // nB
+    U, R = halo_widths(layout_win_start, W, n_pad)
+    x_ext = jnp.pad(x_bp, ((0, 0), (U, R), (0, 0)))
+    return band_windows_ext(x_ext, nB, BLK, W)
 
 
 def band_spmm(band: jax.Array, wins: jax.Array) -> jax.Array:

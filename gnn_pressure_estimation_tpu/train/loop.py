@@ -243,13 +243,20 @@ class Trainer:
 
         return step
 
+    def _jit_wrap(self, fn, donate: tuple, batch_argnums: tuple,
+                  stacked: bool = False):
+        """Jit hook: subclasses (MeshTrainer) attach input/output shardings
+        here; ``batch_argnums`` are the snapshot-batch args, ``stacked`` marks
+        the scanned-epoch layout ([S, bs·n, 1] vs [bs·n, 1])."""
+        return jax.jit(fn, donate_argnums=donate)
+
     def _get_train_step(self, template: GraphTemplate, bs: int):
         key = (id(template), bs)
         if key in self._train_step_cache:
             return self._train_step_cache[key]
         donate = (0, 1) if self.cfg.donate_state else ()
-        step = jax.jit(
-            self._train_step_core(template, bs), donate_argnums=donate
+        step = self._jit_wrap(
+            self._train_step_core(template, bs), donate, (2, 3)
         )
         self._train_step_cache[key] = step
         return step
@@ -269,7 +276,6 @@ class Trainer:
         step_core = self._train_step_core(template, bs)
         donate = (0, 1) if self.cfg.donate_state else ()
 
-        @partial(jax.jit, donate_argnums=donate)
         def epoch(params, opt_state, xs, key_):
             keys = jax.random.split(key_, n_steps)
 
@@ -287,60 +293,43 @@ class Trainer:
                 mk: jnp.mean(mv) for mk, mv in mets.items()
             }
 
+        epoch = self._jit_wrap(epoch, donate, (2,), stacked=True)
         self._epoch_cache[key] = epoch
         return epoch
 
     def _get_eval_epoch(self, template: GraphTemplate, bs: int, n_steps: int,
                         prefix: str = "val"):
-        """Scanned evaluation epoch (loss/metric means only, no outputs)."""
+        """Scanned evaluation epoch (loss/metric means only; the per-step
+        outputs are dead code the compiler eliminates)."""
         key = (id(template), bs, n_steps, prefix, self.required_mask_idx)
         if key in self._epoch_cache:
             return self._epoch_cache[key]
-        graph = self._batched_graph(template, bs)
-        n = template.n_node
-        k = masked_count(n, self.cfg.mask_rate)
-        n_masked = bs * k
-        req = self.required_mask_idx
+        step_core = self._eval_step_core(template, bs, prefix)
 
-        @jax.jit
         def epoch(params, xs, key_):
             keys = jax.random.split(key_, n_steps)
 
             def body(carry, inp):
                 x, k_ = inp
-                mask = batch_node_mask(k_, bs, n, self.cfg.mask_rate,
-                                       required_idx=req)
-                if graph.banded:
-                    x_p = graph.pack_nodes(x, n)
-                    m_p = graph.pack_nodes(
-                        mask.astype(jnp.float32)[:, None], n
-                    )[:, 0] > 0.5
-                    loss, mets, _ = self._masked_loss_and_metrics(
-                        params, graph, x_p, x_p, m_p, n_masked, prefix
-                    )
-                else:
-                    loss, mets, _ = self._masked_loss_and_metrics(
-                        params, graph, x, x, mask, n_masked, prefix
-                    )
+                loss, mets, _, _ = step_core(params, x, x, k_)
                 return carry, (loss, mets)
 
             _, (losses, mets) = jax.lax.scan(body, None, (xs, keys))
             return jnp.mean(losses), {mk: jnp.mean(mv) for mk, mv in mets.items()}
 
+        epoch = self._jit_wrap(epoch, (), (1,), stacked=True)
         self._epoch_cache[key] = epoch
         return epoch
 
-    def _get_eval_step(self, template: GraphTemplate, bs: int, prefix: str = "val"):
-        key = (id(template), bs, prefix, self.required_mask_idx)
-        if key in self._eval_step_cache:
-            return self._eval_step_cache[key]
+    def _eval_step_core(self, template: GraphTemplate, bs: int,
+                        prefix: str = "val"):
+        """Un-jitted eval step shared by the per-step and scanned paths."""
         graph = self._batched_graph(template, bs)
         n = template.n_node
         k = masked_count(n, self.cfg.mask_rate)
         n_masked = bs * k
         req = self.required_mask_idx
 
-        @jax.jit
         def step(params, x, y, key_):
             mask = batch_node_mask(key_, bs, n, self.cfg.mask_rate, required_idx=req)
             if graph.banded:
@@ -354,6 +343,15 @@ class Trainer:
             )
             return loss, mets, out, mask
 
+        return step
+
+    def _get_eval_step(self, template: GraphTemplate, bs: int, prefix: str = "val"):
+        key = (id(template), bs, prefix, self.required_mask_idx)
+        if key in self._eval_step_cache:
+            return self._eval_step_cache[key]
+        step = self._jit_wrap(
+            self._eval_step_core(template, bs, prefix), (), (1, 2)
+        )
         self._eval_step_cache[key] = step
         return step
 

@@ -127,3 +127,139 @@ def test_distributed_grads_match_single_device(rng):
     grad_s = jax.grad(loss_fn)(dtr.params)
     for a, b in zip(jax.tree.leaves(grad_d), jax.tree.leaves(grad_s)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# MeshTrainer (round 2): graphs strategy (GSPMD DP) + halo strategy (ppermute)
+# ---------------------------------------------------------------------------
+
+def _banded_chain_template(rng, n=64):
+    """A genuinely banded graph (i~i±1, some i~i±2) with a tiny band layout."""
+    from gnn_pressure_estimation_tpu.core.graph import GraphTemplate
+    import gnn_pressure_estimation_tpu.ops.banded as B
+
+    s, r = [], []
+    for i in range(n - 1):
+        s += [i, i + 1]; r += [i + 1, i]
+    for i in range(n - 2):
+        if rng.random() < 0.5:
+            s += [i, i + 2]; r += [i + 2, i]
+    tpl = GraphTemplate(n, np.array(s), np.array(r))
+    tpl._band_cache = B.build_band_layout(tpl, block=8, lane=8)
+    return tpl
+
+
+@pytest.mark.parametrize("dp,gp", [(2, 4), (4, 2), (1, 8), (8, 1)])
+def test_meshtrainer_graphs_strategy_matches_single(rng, dp, gp):
+    """Whole-graph sharding over the mesh: one GSPMD-inserted grad psum,
+    numerics identical to the single-device dense path."""
+    from gnn_pressure_estimation_tpu.parallel import MeshTrainer
+
+    if jax.device_count() < dp * gp:
+        pytest.skip("needs 8 virtual devices")
+    tpl = random_graph(rng, n=20, extra_edges=10)
+    model = GATRes(num_blocks=2, channels=8)
+    cfg = TrainConfig(batch_size=8, mask_rate=0.5, criterion="mse",
+                      donate_state=False, seed=3)
+    mesh = make_mesh(dp=dp, gp=gp)
+    mt = MeshTrainer(model, cfg, NormStats(), tpl, mesh)
+    assert mt.strategy == "graphs"
+    st = Trainer(model, cfg, NormStats(), tpl)
+    x = jnp.asarray(rng.standard_normal((8 * 20, 1)).astype(np.float32))
+    key = jax.random.PRNGKey(5)
+    pm, _, lm, _ = mt._get_train_step(tpl, 8)(mt.params, mt.opt_state, x, x, key)
+    ps, _, ls, _ = st._get_train_step(tpl, 8)(st.params, st.opt_state, x, x, key)
+    np.testing.assert_allclose(float(lm), float(ls), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(pm), jax.tree.leaves(ps)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+@pytest.mark.parametrize("dp,gp", [(2, 4), (4, 2), (1, 8)])
+def test_meshtrainer_halo_strategy_matches_single(rng, dp, gp):
+    """Banded halo exchange (ppermute of U/R boundary rows) reproduces the
+    single-chip zero-padded band program exactly, for any mesh factoring."""
+    from gnn_pressure_estimation_tpu.core.graph import GraphTemplate
+    from gnn_pressure_estimation_tpu.parallel import MeshTrainer
+
+    if jax.device_count() < dp * gp:
+        pytest.skip("needs 8 virtual devices")
+    old = GraphTemplate.DENSE_THRESHOLD
+    GraphTemplate.DENSE_THRESHOLD = 32  # push the 64-node graph onto banded
+    try:
+        tpl = _banded_chain_template(rng)
+        model = GATRes(num_blocks=2, channels=8)
+        cfg = TrainConfig(batch_size=4, mask_rate=0.5, criterion="mse",
+                          donate_state=False, seed=3)
+        st = Trainer(model, cfg, NormStats(), tpl)
+        x = jnp.asarray(rng.standard_normal((4 * 64, 1)).astype(np.float32))
+        key = jax.random.PRNGKey(9)
+        ps, _, ls, ms = st._get_train_step(tpl, 4)(
+            st.params, st.opt_state, x, x, key)
+
+        mesh = make_mesh(dp=dp, gp=gp)
+        mt = MeshTrainer(model, cfg, NormStats(), tpl, mesh)
+        assert mt.strategy == "halo"
+        pm, _, lm, mm = mt._get_train_step(tpl, 4)(
+            mt.params, mt.opt_state, x, x, key)
+        np.testing.assert_allclose(float(lm), float(ls), rtol=1e-5)
+        np.testing.assert_allclose(float(mm["train_mae"]),
+                                   float(ms["train_mae"]), rtol=1e-4)
+        for a, b in zip(jax.tree.leaves(pm), jax.tree.leaves(ps)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+    finally:
+        GraphTemplate.DENSE_THRESHOLD = old
+
+
+def test_meshtrainer_fit_end_to_end(rng, tmp_path):
+    """The FULL trainer surface (scan epochs, checkpoints, eval epochs,
+    early stopping) runs distributed and the loss decreases."""
+    import math
+    from gnn_pressure_estimation_tpu.data.dataset import WDNDataset, _Member
+    from gnn_pressure_estimation_tpu.parallel import MeshTrainer
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    tpl = random_graph(rng, n=16, extra_edges=8)
+    ds = object.__new__(WDNDataset)
+    ds.feature, ds.from_set, ds.norm_type, ds.edge_attrs = "pressure", "train", "znorm", None
+    ds.stats = NormStats()
+    ds.members = [_Member(tpl, rng.standard_normal((24, 16)).astype(np.float32), [], None)]
+    ds._lengths = [24]
+    ds.length = 24
+
+    cfg = TrainConfig(epochs=3, batch_size=8, mask_rate=0.5, criterion="mse",
+                      patience=100, donate_state=False, seed=0,
+                      save_path=str(tmp_path))
+    model = GATRes(num_blocks=1, channels=4)
+    mesh = make_mesh(dp=4, gp=2)
+    mt = MeshTrainer(model, cfg, ds.stats, tpl, mesh)
+    best = mt.fit(ds, ds, log_fn=lambda *_: None)
+    assert math.isfinite(best["loss"])
+    assert (tmp_path / "best_model.ckpt").exists()
+
+
+def test_halo_exchange_roundtrip(rng):
+    """halo_exchange delivers exactly the neighbor rows (zeros at the edges)."""
+    from functools import partial
+    from jax.sharding import Mesh, PartitionSpec as P
+    from jax import shard_map
+    from gnn_pressure_estimation_tpu.parallel import halo_exchange
+
+    if jax.device_count() < 4:
+        pytest.skip("needs 4 devices")
+    gp = 4
+    mesh = Mesh(np.array(jax.devices()[:gp]), axis_names=("graph",))
+    chunk, U, R, C = 6, 2, 3, 5
+    x = rng.standard_normal((gp, 1, chunk, C)).astype(np.float32)
+
+    f = shard_map(
+        lambda v: halo_exchange(v[0], U, R, "graph")[None],
+        mesh=mesh, in_specs=P("graph"), out_specs=P("graph"),
+        check_vma=False,
+    )
+    out = np.asarray(jax.jit(f)(jnp.asarray(x)))
+    for p in range(gp):
+        left = x[p - 1][:, -U:] if p > 0 else np.zeros((1, U, C), np.float32)
+        right = x[p + 1][:, :R] if p < gp - 1 else np.zeros((1, R, C), np.float32)
+        expect = np.concatenate([left, x[p], right], axis=1)
+        np.testing.assert_array_equal(out[p], expect)
