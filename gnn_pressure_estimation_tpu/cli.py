@@ -54,6 +54,13 @@ def _add_train_flags(p: argparse.ArgumentParser):
     p.add_argument("--seed", default=42, type=int)
     p.add_argument("--device", default=None, choices=["tpu", "cpu", None],
                    help="cpu forces the CPU backend")
+    p.add_argument("--activation_dtype", default=None,
+                   choices=["float32", "bfloat16", None],
+                   help="activation precision for models with a dtype knob "
+                        "(params/softmax/loss stay f32)")
+    p.add_argument("--matmul_precision", default=None,
+                   choices=["bfloat16", "tensorfloat32", "highest", None],
+                   help="XLA default_matmul_precision inside the train step")
     p.add_argument("--mesh", default=None, type=str, metavar="DP,GP",
                    help="train over a data×graph device mesh, e.g. '4,2' "
                         "(whole-graph shards for small templates, banded "
@@ -117,7 +124,12 @@ def cmd_train(args):
     from gnn_pressure_estimation_tpu.train import TrainConfig, Trainer, load_checkpoint
     from gnn_pressure_estimation_tpu.utils.logging import make_logger
 
-    model, preset = select_model(args.model)
+    dtype = None
+    if args.activation_dtype == "bfloat16":
+        import jax.numpy as jnp
+
+        dtype = jnp.bfloat16
+    model, preset = select_model(args.model, dtype=dtype)
     train_ds, val_ds, norm_type = _load_datasets(args, preset)
 
     cfg = TrainConfig(
@@ -130,6 +142,7 @@ def cmd_train(args):
         clip_percentile=args.percentile, seed=args.seed,
         save_path=args.save_path, model_name=args.model, variant=args.variant,
         log_gradient=args.log_gradient,
+        matmul_precision=args.matmul_precision,
     )
     if args.mesh:
         from gnn_pressure_estimation_tpu.parallel import MeshTrainer, make_mesh

@@ -29,31 +29,45 @@ from gnn_pressure_estimation_tpu.models.layers import GATConv, SimpleMeanConv, g
 class GATResBlock(nn.Module):
     channels: int
     dtype: jnp.dtype = jnp.float32
+    attn_dtype: jnp.dtype = None
 
     @nn.compact
     def __call__(self, x: jax.Array, graph: BatchedGraph) -> jax.Array:
         nc = self.channels
         x0 = x
-        x = nn.relu(GATConv(nc, heads=2, concat=True, dtype=self.dtype)(x, graph))
-        x = GATConv(nc, heads=1, concat=False, dtype=self.dtype)(x, graph)
+        x = nn.relu(GATConv(nc, heads=2, concat=True, dtype=self.dtype,
+                            attn_dtype=self.attn_dtype)(x, graph))
+        x = GATConv(nc, heads=1, concat=False, dtype=self.dtype,
+                    attn_dtype=self.attn_dtype)(x, graph)
         x = SimpleMeanConv()(x, graph) + x0
         return nn.relu(x)
 
 
 class GATRes(nn.Module):
-    """Uniform model signature: ``apply(params, x[N,1], graph) -> [N,1]``."""
+    """Uniform model signature: ``apply(params, x[N,1], graph) -> [N,1]``.
+
+    ``remat=True`` wraps each block in ``jax.checkpoint``: the backward pass
+    recomputes the [B,n,n,H] attention tensors tile-fused instead of reading
+    them back from HBM — the step is HBM-bound (roofline: 97% of the memory
+    roof), so trading VPU recompute FLOPs for that traffic is the win the
+    hardware asks for.
+    """
 
     num_blocks: int = 15
     channels: int = 32
     out_channels: int = 1
     dtype: jnp.dtype = jnp.float32
+    attn_dtype: jnp.dtype = None
+    remat: bool = False
 
     @nn.compact
     def __call__(
         self, x: jax.Array, graph: BatchedGraph, training: bool = False
     ) -> jax.Array:
         x = nn.Dense(self.channels, kernel_init=glorot, name="lin0")(x)
+        block_cls = nn.remat(GATResBlock) if self.remat else GATResBlock
         for i in range(self.num_blocks):
-            x = GATResBlock(self.channels, dtype=self.dtype, name=f"block_{i}")(x, graph)
+            x = block_cls(self.channels, dtype=self.dtype,
+                          attn_dtype=self.attn_dtype, name=f"block_{i}")(x, graph)
         x = nn.Dense(self.out_channels, kernel_init=glorot, name="lin1")(x)
         return x

@@ -89,6 +89,9 @@ class GATConv(nn.Module):
     negative_slope: float = 0.2
     add_self_loops: bool = True
     dtype: jnp.dtype = jnp.float32
+    # storage dtype for the materialized [B,n,n,H] attention tensor on the
+    # dense path (softmax math stays f32); bf16 halves its HBM round-trips
+    attn_dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, graph: BatchedGraph) -> jax.Array:
@@ -133,8 +136,11 @@ class GATConv(nn.Module):
                 logits = jnp.where(
                     graph.adj_sl_mask[None, :, :, None], logits, NEG_INF
                 )
-                attn = jax.nn.softmax(logits.astype(jnp.float32), axis=2).astype(self.dtype)
-                out = jnp.einsum("bijh,bjhc->bihc", attn, xp_b).reshape(-1, H, C)
+                store = self.attn_dtype or self.dtype
+                attn = jax.nn.softmax(logits.astype(jnp.float32), axis=2).astype(store)
+                out = jnp.einsum(
+                    "bijh,bjhc->bihc", attn, xp_b.astype(store)
+                ).astype(self.dtype).reshape(-1, H, C)
         elif (graph.banded or graph.halo) and self.add_self_loops:
             # Banded local attention (large graphs): band windows over the
             # RCM ordering, masked softmax within each window.

@@ -75,10 +75,19 @@ MODEL_REGISTRY: dict[str, ModelPreset] = {
 }
 
 
-def select_model(name: str) -> tuple[nn.Module, ModelPreset]:
+def select_model(name: str, dtype=None) -> tuple[nn.Module, ModelPreset]:
+    """``dtype`` (e.g. jnp.bfloat16) switches activation precision for models
+    that support it (GATRes keeps params/softmax/loss in f32; bf16 halves the
+    HBM traffic of the [B,n,n,H] attention tensors — bf16 shares f32's
+    exponent range so no loss scaling is required)."""
     if name not in MODEL_REGISTRY:
         raise KeyError(
             f"unknown model '{name}'; available: {sorted(MODEL_REGISTRY)}"
         )
     preset = MODEL_REGISTRY[name]
-    return preset.make(), preset
+    model = preset.make()
+    if dtype is not None:
+        if "dtype" not in getattr(model, "__dataclass_fields__", {}):
+            raise ValueError(f"model '{name}' has no activation-dtype knob")
+        model = model.clone(dtype=dtype)
+    return model, preset

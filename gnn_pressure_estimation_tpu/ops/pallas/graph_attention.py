@@ -27,23 +27,40 @@ import numpy as np
 NEG = -1e9
 
 
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
 def make_fused_attention(
-    mask: np.ndarray, negative_slope: float, interpret: Optional[bool] = None
+    mask: np.ndarray,
+    negative_slope: float,
+    interpret: Optional[bool] = None,
+    graphs_per_step: int = 8,
 ):
     """Factory capturing the template's [n, n] adjacency mask (with
     self-loops). Returns ``attend(a_dst, a_src, v) -> out`` with a fused VJP.
+
+    v2 (round 2): the roofline run showed the XLA dense path pinned at the
+    HBM roof (97% SoL) on the [B,n,n,H] logits traffic, so the kernel's job
+    is purely to keep those tensors in VMEM.  Two fixes over v1 make it
+    actually win: node count padded to the 128-lane grid (n=388 → 512; the
+    adjacency mask zeroes the pad columns, pad rows are sliced off), and
+    ``graphs_per_step`` graphs processed per grid step to amortize grid/DMA
+    overhead (v1 ran one 388-wide graph per step and lost to relayouts).
     """
     from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     n = mask.shape[0]
-    maskf = jnp.asarray(mask.astype(np.float32))
+    n_pad = _round_up(n, 128)
+    maskf = np.zeros((n_pad, n_pad), np.float32)
+    maskf[:n, :n] = mask.astype(np.float32)
+    maskf = jnp.asarray(maskf)
     slope = float(negative_slope)
 
     def _softmax_p(ad_col, as_row, mk):
-        z = ad_col + as_row                      # [n, n]
+        z = ad_col + as_row                      # [n_pad, n_pad]
         z = jnp.where(z >= 0, z, slope * z)
         z = z * mk + (1.0 - mk) * NEG
         m = jnp.max(z, axis=1, keepdims=True)
@@ -52,61 +69,70 @@ def make_fused_attention(
 
     def fwd_kernel(adst_ref, asrc_ref, v_ref, mask_ref, o_ref):
         mk = mask_ref[...]
-        H = v_ref.shape[1]
-        for h in range(H):
-            p = _softmax_p(
-                adst_ref[0][:, h : h + 1], asrc_ref[0, h : h + 1, :], mk
-            )
-            o_ref[0, h] = jnp.dot(
-                p, v_ref[0, h], preferred_element_type=jnp.float32
-            )
+        G, H = v_ref.shape[0], v_ref.shape[1]
+        for g in range(G):
+            for h in range(H):
+                p = _softmax_p(
+                    adst_ref[g][:, h : h + 1], asrc_ref[g, h : h + 1, :], mk
+                )
+                o_ref[g, h] = jnp.dot(
+                    p, v_ref[g, h], preferred_element_type=jnp.float32
+                )
 
     def bwd_kernel(adst_ref, asrc_ref, v_ref, mask_ref, do_ref,
                    dadst_ref, dasrc_ref, dv_ref):
         mk = mask_ref[...]
-        H = v_ref.shape[1]
-        for h in range(H):
-            ad_col = adst_ref[0][:, h : h + 1]
-            as_row = asrc_ref[0, h : h + 1, :]
-            p = _softmax_p(ad_col, as_row, mk)
-            do_h = do_ref[0, h]                  # [n, C]
-            v_h = v_ref[0, h]
-            # dV = Pᵀ @ dO
-            dv_ref[0, h] = jax.lax.dot_general(
-                p, do_h, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            # dP = dO @ Vᵀ ; softmax VJP: dZ = P ∘ (dP − rowsum(dP∘P))
-            dp = jax.lax.dot_general(
-                do_h, v_h, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            delta = jnp.sum(dp * p, axis=1, keepdims=True)
-            dz = p * (dp - delta)
-            # LeakyReLU VJP on the pre-mask logits (masked entries: P=0 ⇒ dz=0)
-            zpre = ad_col + as_row
-            dz = jnp.where(zpre >= 0, dz, slope * dz)
-            dadst_ref[0, :, h : h + 1] = jnp.sum(dz, axis=1, keepdims=True)
-            dasrc_ref[0, h : h + 1, :] = jnp.sum(dz, axis=0, keepdims=True)
+        G, H = v_ref.shape[0], v_ref.shape[1]
+        for g in range(G):
+            for h in range(H):
+                ad_col = adst_ref[g][:, h : h + 1]
+                as_row = asrc_ref[g, h : h + 1, :]
+                p = _softmax_p(ad_col, as_row, mk)
+                do_h = do_ref[g, h]                  # [n_pad, C]
+                v_h = v_ref[g, h]
+                # dV = Pᵀ @ dO
+                dv_ref[g, h] = jax.lax.dot_general(
+                    p, do_h, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                # dP = dO @ Vᵀ ; softmax VJP: dZ = P ∘ (dP − rowsum(dP∘P))
+                dp = jax.lax.dot_general(
+                    do_h, v_h, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                delta = jnp.sum(dp * p, axis=1, keepdims=True)
+                dz = p * (dp - delta)
+                # LeakyReLU VJP on the pre-mask logits (masked: P=0 ⇒ dz=0)
+                zpre = ad_col + as_row
+                dz = jnp.where(zpre >= 0, dz, slope * dz)
+                dadst_ref[g, :, h : h + 1] = jnp.sum(dz, axis=1, keepdims=True)
+                dasrc_ref[g, h : h + 1, :] = jnp.sum(dz, axis=0, keepdims=True)
+
+    def _gps(B: int) -> int:
+        for g in (graphs_per_step, 8, 4, 2, 1):
+            if g <= graphs_per_step and B % g == 0:
+                return g
+        return 1
 
     def _call_fwd(a_dst, a_src, v):
         B, H, _, C = v.shape
+        G = _gps(B)
         return pl.pallas_call(
             fwd_kernel,
-            grid=(B,),
+            grid=(B // G,),
             in_specs=[
-                pl.BlockSpec((1, n, H), lambda b: (b, 0, 0)),
-                pl.BlockSpec((1, H, n), lambda b: (b, 0, 0)),
-                pl.BlockSpec((1, H, n, C), lambda b: (b, 0, 0, 0)),
-                pl.BlockSpec((n, n), lambda b: (0, 0)),
+                pl.BlockSpec((G, n_pad, H), lambda b: (b, 0, 0)),
+                pl.BlockSpec((G, H, n_pad), lambda b: (b, 0, 0)),
+                pl.BlockSpec((G, H, n_pad, C), lambda b: (b, 0, 0, 0)),
+                pl.BlockSpec((n_pad, n_pad), lambda b: (0, 0)),
             ],
-            out_specs=pl.BlockSpec((1, H, n, C), lambda b: (b, 0, 0, 0)),
-            out_shape=jax.ShapeDtypeStruct((B, H, n, C), jnp.float32),
+            out_specs=pl.BlockSpec((G, H, n_pad, C), lambda b: (b, 0, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((B, H, n_pad, C), jnp.float32),
             interpret=interpret,
         )(a_dst, a_src, v, maskf)
 
     @jax.custom_vjp
-    def attend(a_dst, a_src, v):
+    def attend_padded(a_dst, a_src, v):
         return _call_fwd(a_dst, a_src, v)
 
     def fwd_fn(a_dst, a_src, v):
@@ -115,29 +141,42 @@ def make_fused_attention(
     def bwd_fn(res, g):
         a_dst, a_src, v = res
         B, H, _, C = v.shape
+        G = _gps(B)
         d_adst, d_asrc, d_v = pl.pallas_call(
             bwd_kernel,
-            grid=(B,),
+            grid=(B // G,),
             in_specs=[
-                pl.BlockSpec((1, n, H), lambda b: (b, 0, 0)),
-                pl.BlockSpec((1, H, n), lambda b: (b, 0, 0)),
-                pl.BlockSpec((1, H, n, C), lambda b: (b, 0, 0, 0)),
-                pl.BlockSpec((n, n), lambda b: (0, 0)),
-                pl.BlockSpec((1, H, n, C), lambda b: (b, 0, 0, 0)),
+                pl.BlockSpec((G, n_pad, H), lambda b: (b, 0, 0)),
+                pl.BlockSpec((G, H, n_pad), lambda b: (b, 0, 0)),
+                pl.BlockSpec((G, H, n_pad, C), lambda b: (b, 0, 0, 0)),
+                pl.BlockSpec((n_pad, n_pad), lambda b: (0, 0)),
+                pl.BlockSpec((G, H, n_pad, C), lambda b: (b, 0, 0, 0)),
             ],
             out_specs=[
-                pl.BlockSpec((1, n, H), lambda b: (b, 0, 0)),
-                pl.BlockSpec((1, H, n), lambda b: (b, 0, 0)),
-                pl.BlockSpec((1, H, n, C), lambda b: (b, 0, 0, 0)),
+                pl.BlockSpec((G, n_pad, H), lambda b: (b, 0, 0)),
+                pl.BlockSpec((G, H, n_pad), lambda b: (b, 0, 0)),
+                pl.BlockSpec((G, H, n_pad, C), lambda b: (b, 0, 0, 0)),
             ],
             out_shape=[
-                jax.ShapeDtypeStruct((B, n, H), jnp.float32),
-                jax.ShapeDtypeStruct((B, H, n), jnp.float32),
-                jax.ShapeDtypeStruct((B, H, n, C), jnp.float32),
+                jax.ShapeDtypeStruct((B, n_pad, H), jnp.float32),
+                jax.ShapeDtypeStruct((B, H, n_pad), jnp.float32),
+                jax.ShapeDtypeStruct((B, H, n_pad, C), jnp.float32),
             ],
             interpret=interpret,
         )(a_dst, a_src, v, maskf, g)
         return d_adst, d_asrc, d_v
 
-    attend.defvjp(fwd_fn, bwd_fn)
+    attend_padded.defvjp(fwd_fn, bwd_fn)
+
+    def attend(a_dst, a_src, v):
+        """Unpadded API: a_dst [B,n,H] · a_src [B,H,n] · v [B,H,n,C] →
+        [B,H,n,C].  Pad/slice live outside the custom VJP so JAX transposes
+        them natively; pad columns are dead via the mask, pad rows are
+        computed-but-sliced (their uniform softmax rows never escape)."""
+        pn = n_pad - n
+        a_dst_p = jnp.pad(a_dst, ((0, 0), (0, pn), (0, 0)))
+        a_src_p = jnp.pad(a_src, ((0, 0), (0, 0), (0, pn)))
+        v_p = jnp.pad(v, ((0, 0), (0, 0), (0, pn), (0, 0)))
+        return attend_padded(a_dst_p, a_src_p, v_p)[:, :, :n, :]
+
     return attend

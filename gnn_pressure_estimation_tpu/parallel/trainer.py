@@ -98,8 +98,10 @@ class MeshTrainer(Trainer):
 
         n_args = len(inspect.signature(fn).parameters)
         in_sh = tuple(xsh if i in batch_argnums else rep for i in range(n_args))
-        return jax.jit(fn, donate_argnums=donate, in_shardings=in_sh,
-                       out_shardings=rep)
+        return self._with_precision(
+            jax.jit(fn, donate_argnums=donate, in_shardings=in_sh,
+                    out_shardings=rep)
+        )
 
     # -- halo strategy: shard_map step cores -------------------------------
     def _halo_part(self, template: GraphTemplate):

@@ -248,7 +248,21 @@ class Trainer:
         """Jit hook: subclasses (MeshTrainer) attach input/output shardings
         here; ``batch_argnums`` are the snapshot-batch args, ``stacked`` marks
         the scanned-epoch layout ([S, bs·n, 1] vs [bs·n, 1])."""
-        return jax.jit(fn, donate_argnums=donate)
+        return self._with_precision(jax.jit(fn, donate_argnums=donate))
+
+    def _with_precision(self, fn):
+        """Apply cfg.matmul_precision at trace time (jit traces on first
+        call, so wrapping the jitted callable bakes the precision into the
+        lowered dots)."""
+        if not self.cfg.matmul_precision:
+            return fn
+        prec = self.cfg.matmul_precision
+
+        def wrapped(*args):
+            with jax.default_matmul_precision(prec):
+                return fn(*args)
+
+        return wrapped
 
     def _get_train_step(self, template: GraphTemplate, bs: int):
         key = (id(template), bs)
