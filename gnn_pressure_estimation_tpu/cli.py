@@ -54,6 +54,11 @@ def _add_train_flags(p: argparse.ArgumentParser):
     p.add_argument("--seed", default=42, type=int)
     p.add_argument("--device", default=None, choices=["tpu", "cpu", None],
                    help="cpu forces the CPU backend")
+    p.add_argument("--profile_dir", default=None, type=str,
+                   help="capture a jax.profiler device trace of the first "
+                        "training epochs into this directory (view with "
+                        "TensorBoard / xprof)")
+    p.add_argument("--profile_epochs", default=2, type=int)
     p.add_argument("--activation_dtype", default=None,
                    choices=["float32", "bfloat16", None],
                    help="activation precision for models with a dtype knob "
@@ -162,7 +167,28 @@ def cmd_train(args):
 
     logger = make_logger(args.log_method, args.project_name,
                          f"{args.model}_{args.variant}", vars(args))
-    best = trainer.fit(train_ds, val_ds, on_epoch_end=logger.log_epoch)
+    on_epoch_end = logger.log_epoch
+    if args.profile_dir:
+        # device trace of the first epochs (skips epoch 1's compile)
+        import jax
+
+        state = {"on": False}
+
+        def on_epoch_end(epoch, mets, _log=logger.log_epoch):
+            _log(epoch, mets)
+            if epoch == 1:
+                jax.profiler.start_trace(args.profile_dir)
+                state["on"] = True
+            elif state["on"] and epoch > args.profile_epochs:
+                jax.profiler.stop_trace()
+                state["on"] = False
+                print(f"profiler trace written to {args.profile_dir}")
+
+    best = trainer.fit(train_ds, val_ds, on_epoch_end=on_epoch_end)
+    if args.profile_dir and state["on"]:
+        import jax
+
+        jax.profiler.stop_trace()
     logger.finish()
     print(f"best epoch {best['epoch']}: val_loss {best['loss']:.6f}")
 
