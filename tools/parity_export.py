@@ -152,6 +152,84 @@ def cmd_reference(args):
     print(f"reference activations appended → {args.npz}")
 
 
+def cmd_torch_oracle(args):
+    """Independent plain-torch (CPU, no torch_geometric) implementation of
+    the PyG layer semantics the reference stacks — GATConv (self-loops,
+    LeakyReLU 0.2, per-receiver softmax) and SimpleConv(aggr='mean') — per
+    their documented math.  Runs HERE (torch_geometric is not installable in
+    this image) and fills the same ``ref_act_*`` slots ``reference`` would,
+    so ``compare`` closes the activation gate against a second framework.
+    """
+    import torch
+
+    d = dict(np.load(args.npz))
+    n, B = int(d["n"]), int(d["batch"])
+    num_blocks, nc = int(d["num_blocks"]), int(d["nc"])
+
+    und = d["edge_index_und"]
+    src_l, dst_l = [], []
+    for b in range(B):
+        off = b * n
+        s = np.concatenate([und[0] + off, und[1] + off])
+        r = np.concatenate([und[1] + off, und[0] + off])
+        src_l.append(s)
+        dst_l.append(r)
+    src = torch.tensor(np.concatenate(src_l), dtype=torch.long)
+    dst = torch.tensor(np.concatenate(dst_l), dtype=torch.long)
+    N = B * n
+    # self-loop-augmented edge list (PyG GATConv add_self_loops default)
+    loops = torch.arange(N)
+    src_sl = torch.cat([src, loops])
+    dst_sl = torch.cat([dst, loops])
+
+    def gat(x, W, a_src, a_dst, bias, H, C, concat):
+        xp = (x @ W.T).reshape(N, H, C)
+        al_s = (xp * a_src).sum(-1)     # [N, H]
+        al_d = (xp * a_dst).sum(-1)
+        e = torch.nn.functional.leaky_relu(al_s[src_sl] + al_d[dst_sl], 0.2)
+        # per-receiver softmax: subtract scatter-max, exp, normalize
+        mx = torch.full((N, H), -1e30)
+        mx = mx.scatter_reduce(0, dst_sl[:, None].expand_as(e), e, "amax")
+        ex = torch.exp(e - mx[dst_sl])
+        den = torch.zeros((N, H)).index_add_(0, dst_sl, ex)
+        alpha = ex / den[dst_sl]
+        msg = alpha[..., None] * xp[src_sl]
+        out = torch.zeros((N, H, C)).index_add_(0, dst_sl, msg)
+        out = out.reshape(N, H * C) if concat else out.mean(1)
+        return out + bias
+
+    def mean_conv(x):
+        agg = torch.zeros_like(x).index_add_(0, dst, x[src])
+        deg = torch.zeros(N).index_add_(0, dst, torch.ones(len(dst)))
+        return agg / deg.clamp(min=1.0)[:, None]
+
+    with torch.no_grad():
+        x = torch.tensor(d["x"])
+        h = x @ torch.tensor(d["w_lin0"]).T + torch.tensor(d["b_lin0"])
+        for i in range(num_blocks):
+            h0 = h.clone()
+            h = torch.relu(gat(
+                h, torch.tensor(d[f"blk{i}_conv1_lin_w"]),
+                torch.tensor(d[f"blk{i}_conv1_att_src"]),
+                torch.tensor(d[f"blk{i}_conv1_att_dst"]),
+                torch.tensor(d[f"blk{i}_conv1_bias"]), 2, nc, True,
+            ))
+            h = gat(
+                h, torch.tensor(d[f"blk{i}_conv2_lin_w"]),
+                torch.tensor(d[f"blk{i}_conv2_att_src"]),
+                torch.tensor(d[f"blk{i}_conv2_att_dst"]),
+                torch.tensor(d[f"blk{i}_conv2_bias"]), 1, nc, False,
+            )
+            h = mean_conv(h) + h0
+            h = torch.relu(h)
+            d[f"ref_act_block_{i}"] = h.numpy()
+        out = h @ torch.tensor(d["w_lin1"]).T + torch.tensor(d["b_lin1"])
+    d["ref_out"] = out.numpy()
+    d["ref_source"] = np.bytes_(b"plain-torch oracle (no torch_geometric)")
+    np.savez_compressed(args.npz, **d)
+    print(f"plain-torch oracle activations appended → {args.npz}")
+
+
 def cmd_compare(args):
     d = np.load(args.npz)
     num_blocks = int(d["num_blocks"])
@@ -173,7 +251,7 @@ def cmd_compare(args):
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     sub = ap.add_subparsers(dest="cmd", required=True)
-    for name in ("export", "reference", "compare"):
+    for name in ("export", "reference", "torch_oracle", "compare"):
         p = sub.add_parser(name)
         p.add_argument("--npz", default="parity.npz")
         if name == "export":
@@ -185,4 +263,5 @@ if __name__ == "__main__":
         if name == "compare":
             p.add_argument("--atol", type=float, default=1e-3)
     a = ap.parse_args()
-    {"export": cmd_export, "reference": cmd_reference, "compare": cmd_compare}[a.cmd](a)
+    {"export": cmd_export, "reference": cmd_reference,
+     "torch_oracle": cmd_torch_oracle, "compare": cmd_compare}[a.cmd](a)
