@@ -46,11 +46,67 @@ _MIN_BUFFERSIZE = 128
 
 
 # ---------------------------------------------------------------------------
+# native fast path (data/native/codecs.cpp, plain C ABI via ctypes — same
+# pattern as the hydraulic solver; Python implementations below remain the
+# always-available fallback and the behavioral reference)
+# ---------------------------------------------------------------------------
+
+_NATIVE = None
+_NATIVE_TRIED = False
+
+
+def _native():
+    global _NATIVE, _NATIVE_TRIED
+    if _NATIVE_TRIED:
+        return _NATIVE
+    _NATIVE_TRIED = True
+    import ctypes as ct
+    import os
+    import subprocess
+
+    d = os.path.join(os.path.dirname(__file__), "native")
+    so = os.path.join(d, "libcodecs.so")
+    try:
+        if not os.path.exists(so):
+            subprocess.run(["make", "-C", d, "-s"], check=True,
+                           capture_output=True, timeout=120)
+        lib = ct.CDLL(so)
+        lib.lz4_block_decompress.restype = ct.c_int
+        lib.lz4_block_decompress.argtypes = [ct.c_char_p, ct.c_int,
+                                             ct.c_void_p, ct.c_int]
+        lib.lz4_block_compress.restype = ct.c_int
+        lib.lz4_block_compress.argtypes = [ct.c_char_p, ct.c_int,
+                                           ct.c_void_p, ct.c_int]
+        for f in (lib.byte_shuffle, lib.byte_unshuffle):
+            f.restype = None
+            f.argtypes = [ct.c_char_p, ct.c_void_p, ct.c_int, ct.c_int]
+        _NATIVE = lib
+    except Exception:
+        _NATIVE = None
+    return _NATIVE
+
+
+# ---------------------------------------------------------------------------
 # LZ4 block format
 # ---------------------------------------------------------------------------
 
 def lz4_decompress(src: bytes, dest_size: int) -> bytes:
     """Decode one LZ4 *block* (not frame) into exactly ``dest_size`` bytes."""
+    lib = _native()
+    if lib is not None:
+        import ctypes as ct
+
+        dst = ct.create_string_buffer(max(dest_size, 1))
+        got = lib.lz4_block_decompress(src, len(src), dst, dest_size)
+        if got != dest_size:
+            raise ValueError(
+                f"LZ4 block decoded {got} bytes, expected {dest_size}"
+            )
+        return dst.raw[:dest_size]
+    return _lz4_decompress_py(src, dest_size)
+
+
+def _lz4_decompress_py(src: bytes, dest_size: int) -> bytes:
     dst = bytearray(dest_size)
     si, di, n = 0, 0, len(src)
     while si < n:
@@ -117,6 +173,20 @@ def lz4_compress(src: bytes) -> bytes:
     Honors the format's end-of-block rules: the final 5 bytes are always
     literals and no match starts within the last 12 bytes.
     """
+    lib = _native()
+    if lib is not None:
+        import ctypes as ct
+
+        cap = len(src) + len(src) // 255 + 64
+        dst = ct.create_string_buffer(cap)
+        got = lib.lz4_block_compress(src, len(src), dst, cap)
+        if got > 0:
+            return dst.raw[:got]
+        # fall through on capacity failure (shouldn't happen)
+    return _lz4_compress_py(src)
+
+
+def _lz4_compress_py(src: bytes) -> bytes:
     n = len(src)
     out = bytearray()
     if n == 0:

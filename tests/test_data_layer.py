@@ -198,3 +198,18 @@ def test_dataset_with_compacted_columns(tmp_path, rng):
     assert ds.members[0].array.shape == (8, len(kept))
     # columns align with template node order (junction file order)
     assert ds.members[0].kept_names == kept
+
+
+def test_lz4_native_python_cross_compat(rng):
+    """The C codec (data/native/codecs.cpp) and the pure-Python fallback
+    interoperate in both directions; if the native lib is unavailable the
+    public API already IS the Python path."""
+    import gnn_pressure_estimation_tpu.data.codecs as C
+
+    data = np.cumsum(rng.integers(-3, 4, 50000)).astype(np.int16).tobytes()
+    comp_pub = C.lz4_compress(data)          # native if available
+    comp_py = C._lz4_compress_py(data)
+    assert C._lz4_decompress_py(comp_pub, len(data)) == data
+    assert C.lz4_decompress(comp_py, len(data)) == data
+    if C._native() is not None:
+        assert C.lz4_decompress(comp_pub, len(data)) == data
