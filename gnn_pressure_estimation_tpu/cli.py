@@ -54,6 +54,10 @@ def _add_train_flags(p: argparse.ArgumentParser):
     p.add_argument("--seed", default=42, type=int)
     p.add_argument("--device", default=None, choices=["tpu", "cpu", None],
                    help="cpu forces the CPU backend")
+    p.add_argument("--epochs_per_dispatch", default=1, type=int,
+                   help=">1 stages the dataset on device and runs that many "
+                        "epochs per dispatch (amortizes host round-trips; "
+                        "best-checkpoints hold block-end params)")
     p.add_argument("--profile_dir", default=None, type=str,
                    help="capture a jax.profiler device trace of the first "
                         "training epochs into this directory (view with "
@@ -148,6 +152,7 @@ def cmd_train(args):
         save_path=args.save_path, model_name=args.model, variant=args.variant,
         log_gradient=args.log_gradient,
         matmul_precision=args.matmul_precision,
+        epochs_per_dispatch=args.epochs_per_dispatch,
     )
     if args.mesh:
         from gnn_pressure_estimation_tpu.parallel import MeshTrainer, make_mesh

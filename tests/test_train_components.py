@@ -170,3 +170,65 @@ def test_multi_dataset_training(rng, tmp_path):
     assert math.isfinite(best["loss"])
     # one compiled train step per template
     assert len(trainer._train_step_cache) >= 2
+
+
+def test_dynamic_masked_count_matches_static(rng):
+    """n_masked=None (dynamic denominator) reproduces the static-count loss
+    exactly on an unpadded batch."""
+    from gnn_pressure_estimation_tpu.models.gatres import GATRes
+    from gnn_pressure_estimation_tpu.train import TrainConfig
+    from gnn_pressure_estimation_tpu.train.loop import Trainer
+    from gnn_pressure_estimation_tpu.utils.masking import batch_node_mask, masked_count
+    from helpers import random_graph
+
+    tpl = random_graph(rng, n=12, extra_edges=6)
+    cfg = TrainConfig(batch_size=3, mask_rate=0.5, criterion="mse",
+                      donate_state=False)
+    tr = Trainer(GATRes(num_blocks=1, channels=4), cfg, NormStats(), tpl)
+    g = tr._batched_graph(tpl, 3)
+    x = jnp.asarray(rng.standard_normal((36, 1)).astype(np.float32))
+    mask = batch_node_mask(jax.random.PRNGKey(0), 3, 12, 0.5)
+    k = masked_count(12, 0.5)
+    l_static, m_static, _ = tr._masked_loss_and_metrics(
+        tr.params, g, x, x, mask, 3 * k, "train")
+    l_dyn, m_dyn, _ = tr._masked_loss_and_metrics(
+        tr.params, g, x, x, mask, None, "train")
+    np.testing.assert_allclose(float(l_static), float(l_dyn), rtol=1e-7)
+    for mk in m_static:
+        np.testing.assert_allclose(float(m_static[mk]), float(m_dyn[mk]),
+                                   rtol=1e-6)
+
+
+def test_fit_fast_multi_epoch_dispatch(rng, tmp_path):
+    """epochs_per_dispatch>1 runs whole epochs on device (incl. a padded
+    tail batch), learns, checkpoints, and reports per-epoch losses."""
+    from gnn_pressure_estimation_tpu.data.dataset import WDNDataset, _Member
+    from gnn_pressure_estimation_tpu.models.gatres import GATRes
+    from gnn_pressure_estimation_tpu.train import TrainConfig
+    from gnn_pressure_estimation_tpu.train.loop import Trainer
+    from helpers import random_graph
+
+    tpl = random_graph(rng, n=14, extra_edges=7)
+    arr = rng.standard_normal((22, 14)).astype(np.float32)  # 22 % 4 != 0 → tail
+    def mkds(a):
+        ds = object.__new__(WDNDataset)
+        ds.feature, ds.from_set, ds.norm_type, ds.edge_attrs = "pressure", "train", "znorm", None
+        ds.stats = NormStats()
+        ds.members = [_Member(tpl, a, [], None)]
+        ds._lengths = [len(a)]
+        ds.length = len(a)
+        return ds
+
+    train_ds, val_ds = mkds(arr), mkds(arr[:10])
+    epochs_log = []
+    cfg = TrainConfig(epochs=7, batch_size=4, mask_rate=0.5, criterion="mse",
+                      patience=100, donate_state=False, seed=0,
+                      epochs_per_dispatch=3, save_path=str(tmp_path))
+    tr = Trainer(GATRes(num_blocks=1, channels=4), cfg, NormStats(), tpl)
+    best = tr.fit(train_ds, val_ds, log_fn=lambda *_: None,
+                  on_epoch_end=lambda ep, m: epochs_log.append((ep, m)))
+    assert [ep for ep, _ in epochs_log] == list(range(1, 8))
+    assert all(math.isfinite(m["val_loss"]) for _, m in epochs_log)
+    # it learns: later epochs beat the first
+    assert best["loss"] < epochs_log[0][1]["val_loss"]
+    assert (tmp_path / "best_model.ckpt").exists()
