@@ -61,6 +61,8 @@ def _masked_sums_criterion(name: str):
 class MeshTrainer(Trainer):
     """Drop-in Trainer over a ``("data", "graph")`` mesh."""
 
+    supports_fast_fit = False  # block dispatch would bypass the mesh cores
+
     def __init__(
         self,
         model,

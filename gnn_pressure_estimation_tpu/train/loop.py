@@ -147,6 +147,10 @@ class Trainer:
     cached for the whole run.
     """
 
+    # the multi-epoch block dispatch builds single-device programs; mesh
+    # subclasses opt out so --mesh training keeps its sharded step cores
+    supports_fast_fit = True
+
     def __init__(
         self,
         model: nn.Module,
@@ -674,7 +678,7 @@ class Trainer:
 
         best = {"loss": math.inf, "epoch": 0, "metrics": {}}
 
-        if (cfg.epochs_per_dispatch > 1
+        if (cfg.epochs_per_dispatch > 1 and self.supports_fast_fit
                 and len(train_ds.members) == 1 and len(val_ds.members) == 1
                 and train_ds.members[0].template is val_ds.members[0].template
                 and cfg.criterion in ("mse", "mae")
