@@ -47,10 +47,15 @@ def batch_node_mask(
     rows = 1 if shared else n_graph
     u = jax.random.uniform(key, (rows, n))
     if required_idx is not None and len(required_idx):
-        req = jnp.asarray(np.asarray(required_idx, np.int32))
-        u = u.at[:, req].set(-1.0)  # sort first → always masked
-    ranks = jnp.argsort(jnp.argsort(u, axis=1), axis=1)
-    mask = ranks < k
+        req = np.asarray(required_idx, np.int32)
+        # distinct negative values → unique threshold even when k < len(req)
+        vals = -1.0 - np.arange(len(req), dtype=np.float32)
+        u = u.at[:, jnp.asarray(req)].set(jnp.asarray(vals))
+    # mask the k smallest draws per row: one top_k instead of a double
+    # argsort (TPU sorts are comparatively slow); uniform draws are distinct
+    # almost surely, so `<= k-th smallest` keeps exactly k entries.
+    kth = -jax.lax.top_k(-u, k)[0][:, k - 1 : k]          # [rows, 1]
+    mask = u <= kth
     if shared:
         mask = jnp.broadcast_to(mask, (n_graph, n))
     return mask.reshape(-1)
