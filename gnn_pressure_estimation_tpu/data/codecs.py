@@ -236,10 +236,24 @@ def _lz4_compress_py(src: bytes) -> bytes:
 # byte shuffle
 # ---------------------------------------------------------------------------
 
+def _native_shuffle(fn_name: str, data: bytes, typesize: int):
+    lib = _native()
+    if lib is None:
+        return None
+    import ctypes as ct
+
+    dst = ct.create_string_buffer(max(len(data), 1))
+    getattr(lib, fn_name)(data, dst, len(data), typesize)
+    return dst.raw[: len(data)]
+
+
 def shuffle_bytes(data: bytes, typesize: int) -> bytes:
     """c-blosc byte shuffle: group byte k of every item together."""
     if typesize <= 1 or len(data) < typesize:
         return bytes(data)
+    native = _native_shuffle("byte_shuffle", data, typesize)
+    if native is not None:
+        return native
     n_items = len(data) // typesize
     body = n_items * typesize
     a = np.frombuffer(data[:body], np.uint8).reshape(n_items, typesize)
@@ -249,6 +263,9 @@ def shuffle_bytes(data: bytes, typesize: int) -> bytes:
 def unshuffle_bytes(data: bytes, typesize: int) -> bytes:
     if typesize <= 1 or len(data) < typesize:
         return bytes(data)
+    native = _native_shuffle("byte_unshuffle", data, typesize)
+    if native is not None:
+        return native
     n_items = len(data) // typesize
     body = n_items * typesize
     a = np.frombuffer(data[:body], np.uint8).reshape(typesize, n_items)

@@ -121,22 +121,31 @@ class MeshTrainer(Trainer):
         return self._halo_parts[key]
 
     def _halo_forward_parts(self, template: GraphTemplate, bs: int):
-        """Shared pieces of the halo train/eval cores."""
+        """Shared pieces of the halo train/eval cores.
+
+        ``bs`` may be a tail partial batch not divisible by the data axis;
+        the batch is padded to ``bs_pad`` graphs whose masks are all-False —
+        the dynamic psum'd count keeps the loss/metrics identical to the
+        true-size batch.
+        """
         part, garr = self._halo_part(template)
         dp = self.dp
-        assert bs % dp == 0, (bs, dp)
-        B_local = bs // dp
+        bs_pad = -(-bs // dp) * dp
+        B_local = bs_pad // dp
         n = template.n_node
         perm = jnp.asarray(part.perm)
         n_pad_dist = part.n_pad_dist
         crit = _masked_sums_criterion(self.cfg.criterion)
         stats = self.stats
 
-        def pack(v):
-            """[bs·n, C] original order → [bs, n_pad_dist, C] band order."""
+        def pack(v, fill=0.0):
+            """[bs·n, C] original order → [bs_pad, n_pad_dist, C] band order."""
             vb = v.reshape(bs, n, -1)
             vb = jnp.take(vb, perm, axis=1)
-            return jnp.pad(vb, ((0, 0), (0, n_pad_dist - n), (0, 0)))
+            return jnp.pad(
+                vb, ((0, bs_pad - bs), (0, n_pad_dist - n), (0, 0)),
+                constant_values=fill,
+            )
 
         def local_loss_fn(params, x, y, mask, arrs, prefix):
             """Per-device loss share; differentiable.  Differentiates the
@@ -160,7 +169,9 @@ class MeshTrainer(Trainer):
             )
             mo = jax.lax.psum(mo, ("data", "graph"))
             mets = metrics_mod.metrics_from_moments(mo, prefix)
-            return local_loss, (loss, mets, out)
+            # out back to [B_local, chunk, C] so shard_map's rank-3
+            # P("data","graph",None) out_spec matches
+            return local_loss, (loss, mets, out.reshape(B_local, part.chunk, C))
 
         return part, garr, pack, local_loss_fn
 

@@ -597,16 +597,40 @@ class Trainer:
     def _group_batches(loader: SnapshotLoader):
         """Group the epoch's batches by (template, batch-size) so each group
         can run as one scanned device program; singleton groups fall back to
-        the per-step path (e.g. the tail partial batch)."""
+        the per-step path (e.g. the tail partial batch).
+
+        Multi-template epochs return ``None``: grouping would serialize each
+        template's batches into one block, defeating the loader's deliberate
+        cross-member interleaving (dataset.py SnapshotLoader) — those epochs
+        run per-step in the loader's own shuffled order.
+        """
         groups: dict = {}
+        templates = set()
+        batches = []
         for template, xb, _ in loader:
+            templates.add(id(template))
+            batches.append((template, xb))
             k = (id(template), xb.shape[0])
             groups.setdefault(k, (template, []))[1].append(xb)
-        return groups
+        if len(templates) > 1:
+            return None, batches
+        return groups, batches
 
     def train_one_epoch(self, loader: SnapshotLoader, rng: np.random.Generator):
         per_batch = []
-        for (_, bs), (template, xbs) in self._group_batches(loader).items():
+        groups, batches = self._group_batches(loader)
+        if groups is None:  # multi-template: per-step in loader order
+            for template, xb in batches:
+                bs = xb.shape[0]
+                x = jnp.asarray(xb.reshape(-1, 1))
+                step = self._get_train_step(template, bs)
+                key = jax.random.PRNGKey(int(rng.integers(0, 2**31 - 1)))
+                self.params, self.opt_state, loss, mets = step(
+                    self.params, self.opt_state, x, x, key
+                )
+                per_batch.append((bs, loss, mets))
+            return self._reduce_batch_stats(per_batch)
+        for (_, bs), (template, xbs) in groups.items():
             S = len(xbs)
             key = jax.random.PRNGKey(int(rng.integers(0, 2**31 - 1)))
             if S > 1:
@@ -628,7 +652,17 @@ class Trainer:
     def eval_one_epoch(self, loader: SnapshotLoader, rng: np.random.Generator,
                        prefix: str = "val"):
         per_batch = []
-        for (_, bs), (template, xbs) in self._group_batches(loader).items():
+        groups, batches = self._group_batches(loader)
+        if groups is None:  # multi-template: per-step in loader order
+            for template, xb in batches:
+                bs = xb.shape[0]
+                x = jnp.asarray(xb.reshape(-1, 1))
+                step = self._get_eval_step(template, bs, prefix)
+                key = jax.random.PRNGKey(int(rng.integers(0, 2**31 - 1)))
+                loss, mets, _, _ = step(self.params, x, x, key)
+                per_batch.append((bs, loss, mets))
+            return self._reduce_batch_stats(per_batch)
+        for (_, bs), (template, xbs) in groups.items():
             S = len(xbs)
             key = jax.random.PRNGKey(int(rng.integers(0, 2**31 - 1)))
             if S > 1:
@@ -675,6 +709,9 @@ class Trainer:
             for template, xb, _ in val_loader:
                 probe = (template, xb.shape[0], jnp.asarray(xb.reshape(-1, 1)))
                 break
+            # one jitted forward reused every epoch (a fresh jax.jit wrapper
+            # per epoch would recompile the probe each time)
+            probe_fwd = jax.jit(self.model.apply)
 
         best = {"loss": math.inf, "epoch": 0, "metrics": {}}
 
@@ -695,7 +732,7 @@ class Trainer:
                 template, bs, x = probe
                 graph = self._batched_graph(template, bs)
                 xp = graph.pack_nodes(x, template.n_node) if graph.banded else x
-                out = jax.jit(self.model.apply)(self.params, xp, graph)
+                out = probe_fwd(self.params, xp, graph)
                 if drift_ref is None:
                     drift_ref, model_update = out, 0.0
                 else:

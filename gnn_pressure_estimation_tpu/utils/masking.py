@@ -46,16 +46,24 @@ def batch_node_mask(
     n, k = nodes_per_graph, masked_count(nodes_per_graph, mask_rate)
     rows = 1 if shared else n_graph
     u = jax.random.uniform(key, (rows, n))
+    # Mask the k smallest draws per row with one top_k instead of a double
+    # argsort (TPU sorts are comparatively slow).  Exactly-k is load-bearing
+    # (static n_masked denominators / sized nonzero gathers), so ties are
+    # broken deterministically: keep the high mantissa bits of the positive
+    # float's monotone bit pattern and pack the column index into the low
+    # bits — a strict total order even for duplicated f32 draws.
+    nbits = max(int(n - 1).bit_length(), 1)
+    assert nbits <= 23, f"{n} nodes exceeds the tiebreak packing range"
+    bits = jax.lax.bitcast_convert_type(u, jnp.int32)      # u∈[0,1) → ≥0
+    iota = jax.lax.broadcasted_iota(jnp.int32, (rows, n), 1)
+    keys = ((bits >> nbits) << nbits) | iota
     if required_idx is not None and len(required_idx):
         req = np.asarray(required_idx, np.int32)
-        # distinct negative values → unique threshold even when k < len(req)
-        vals = -1.0 - np.arange(len(req), dtype=np.float32)
-        u = u.at[:, jnp.asarray(req)].set(jnp.asarray(vals))
-    # mask the k smallest draws per row: one top_k instead of a double
-    # argsort (TPU sorts are comparatively slow); uniform draws are distinct
-    # almost surely, so `<= k-th smallest` keeps exactly k entries.
-    kth = -jax.lax.top_k(-u, k)[0][:, k - 1 : k]          # [rows, 1]
-    mask = u <= kth
+        # required entries take the globally smallest (distinct) keys
+        vals = jnp.asarray(np.arange(len(req), dtype=np.int32) - (1 << 30))
+        keys = keys.at[:, jnp.asarray(req)].set(vals[None, :])
+    kth = -jax.lax.top_k(-keys, k)[0][:, k - 1 : k]        # [rows, 1]
+    mask = keys <= kth
     if shared:
         mask = jnp.broadcast_to(mask, (n_graph, n))
     return mask.reshape(-1)

@@ -213,3 +213,17 @@ def test_lz4_native_python_cross_compat(rng):
     assert C.lz4_decompress(comp_py, len(data)) == data
     if C._native() is not None:
         assert C.lz4_decompress(comp_pub, len(data)) == data
+
+
+def test_native_shuffle_matches_numpy(rng):
+    """Native byte shuffle/unshuffle round-trips and matches the NumPy path."""
+    import gnn_pressure_estimation_tpu.data.codecs as C
+
+    data = bytes(rng.integers(0, 256, 1003, dtype=np.uint8))  # 1003 % 8 != 0
+    for ts in (2, 4, 8):
+        sh = C.shuffle_bytes(data, ts)
+        n_items = len(data) // ts
+        body = n_items * ts
+        a = np.frombuffer(data[:body], np.uint8).reshape(n_items, ts)
+        assert sh == a.T.tobytes() + data[body:]
+        assert C.unshuffle_bytes(sh, ts) == data

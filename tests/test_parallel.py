@@ -263,3 +263,48 @@ def test_halo_exchange_roundtrip(rng):
         right = x[p + 1][:, :R] if p < gp - 1 else np.zeros((1, R, C), np.float32)
         expect = np.concatenate([left, x[p], right], axis=1)
         np.testing.assert_array_equal(out[p], expect)
+
+
+def test_meshtrainer_halo_eval_and_tail_batch(rng):
+    """Regression: halo-strategy eval step traces (rank-3 out_spec) and a
+    tail batch not divisible by the data axis pads with zero-masked graphs
+    (same loss as the true-size batch on a 1-device data axis)."""
+    from gnn_pressure_estimation_tpu.core.graph import GraphTemplate
+    from gnn_pressure_estimation_tpu.parallel import MeshTrainer
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    old = GraphTemplate.DENSE_THRESHOLD
+    GraphTemplate.DENSE_THRESHOLD = 32
+    try:
+        tpl = _banded_chain_template(rng)
+        model = GATRes(num_blocks=2, channels=8)
+        cfg = TrainConfig(batch_size=8, mask_rate=0.5, criterion="mse",
+                          donate_state=False, seed=3)
+        mesh = make_mesh(dp=4, gp=2)
+        mt = MeshTrainer(model, cfg, NormStats(), tpl, mesh)
+        assert mt.strategy == "halo"
+        key = jax.random.PRNGKey(2)
+
+        # eval step at full batch (this crashed: rank-2 out vs rank-3 spec)
+        x8 = jnp.asarray(rng.standard_normal((8 * 64, 1)).astype(np.float32))
+        loss, mets, out, mask = mt._get_eval_step(tpl, 8)(mt.params, x8, x8, key)
+        assert np.isfinite(float(loss)) and np.isfinite(float(mets["val_mae"]))
+
+        # tail batch of 6 graphs on dp=4 (this crashed: bs % dp assert)
+        x6 = jnp.asarray(rng.standard_normal((6 * 64, 1)).astype(np.float32))
+        p6, _, loss6, _ = mt._get_train_step(tpl, 6)(
+            mt.params, mt.opt_state, x6, x6, key)
+        assert np.isfinite(float(loss6))
+
+        # padded-tail numerics == true-size batch (dp=1 ⇒ same mask draw)
+        mesh1 = make_mesh(dp=1, gp=4)
+        mt1 = MeshTrainer(model, cfg, NormStats(), tpl, mesh1)
+        st = Trainer(model, cfg, NormStats(), tpl)
+        _, _, l_mesh, _ = mt1._get_train_step(tpl, 6)(
+            mt1.params, mt1.opt_state, x6, x6, key)
+        _, _, l_single, _ = st._get_train_step(tpl, 6)(
+            st.params, st.opt_state, x6, x6, key)
+        np.testing.assert_allclose(float(l_mesh), float(l_single), rtol=1e-5)
+    finally:
+        GraphTemplate.DENSE_THRESHOLD = old

@@ -109,3 +109,30 @@ def test_metric_collection_names():
     assert set(col) == {
         "val_error", "val_0.1", "val_corr", "val_r2", "val_mae", "val_rmse", "val_mynse",
     }
+
+
+def test_batch_node_mask_exactly_k_always(rng):
+    """The top_k threshold with the bit-packed index tiebreak masks exactly
+    k nodes per graph even when f32 draws collide, including required
+    sensors and the k < len(required) edge case."""
+    import jax
+    from gnn_pressure_estimation_tpu.utils.masking import batch_node_mask
+
+    n, B, rate = 200, 16, 0.4
+    k = int(n * rate)
+    for seed in range(5):
+        m = batch_node_mask(jax.random.PRNGKey(seed), B, n, rate)
+        counts = np.asarray(m).reshape(B, n).sum(1)
+        assert (counts == k).all(), counts
+    # required sensors always masked
+    req = (3, 7, 199)
+    m = batch_node_mask(jax.random.PRNGKey(0), B, n, rate, required_idx=req)
+    mb = np.asarray(m).reshape(B, n)
+    assert mb[:, list(req)].all()
+    assert (mb.sum(1) == k).all()
+    # more required than k: the k lowest-index required win, deterministic
+    m2 = batch_node_mask(jax.random.PRNGKey(0), 2, 10, 0.2,
+                         required_idx=tuple(range(5)))
+    mb2 = np.asarray(m2).reshape(2, 10)
+    assert (mb2.sum(1) == 2).all()
+    assert mb2[:, :2].all() and not mb2[:, 2:].any()
