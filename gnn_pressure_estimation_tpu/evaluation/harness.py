@@ -280,7 +280,9 @@ def make_noisy_scenes(
     backend: Optional[str] = None,
 ) -> list[NoisyWDNDataset]:
     """N independent noise scenes (reference evaluation.py:104-127: a list of
-    NoisyWDNDataset, one per trial)."""
+    NoisyWDNDataset, one per trial). Scenes share GraphTemplates so the
+    jitted eval programs compile once, not once per scene."""
+    shared: dict = {}
     return [
         NoisyWDNDataset(
             inp_paths,
@@ -293,6 +295,7 @@ def make_noisy_scenes(
             std_dmd=cfg.std_dmd,
             seed=cfg.seed + t,
             backend=backend,
+            shared_templates=shared,
         )
         for t in range(cfg.num_test_trials)
     ]
