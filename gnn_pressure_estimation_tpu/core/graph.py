@@ -218,12 +218,25 @@ class GraphTemplate:
         }
         return self._degree_cache
 
-    def band_layout(self, block: int = 256, lane: int = 128):
+    def band_layout(self, block: Optional[int] = None, lane: int = 128):
+        """RCM band layout, cached per (block, lane).
+
+        ``block=None`` returns the most recently built layout (building the
+        256 default on first use) so ``batch(mode="banded")`` reuses a
+        layout pre-seeded at a non-default block size.
+        """
         if not hasattr(self, "_band_cache") or self._band_cache is None:
+            self._band_cache = {}
+        if block is None:
+            if self._band_cache:
+                return next(reversed(self._band_cache.values()))
+            block = 256
+        key = (block, lane)
+        if key not in self._band_cache:
             from gnn_pressure_estimation_tpu.ops.banded import build_band_layout
 
-            self._band_cache = build_band_layout(self, block=block, lane=lane)
-        return self._band_cache
+            self._band_cache[key] = build_band_layout(self, block=block, lane=lane)
+        return self._band_cache[key]
 
     def batch(
         self,
@@ -231,6 +244,7 @@ class GraphTemplate:
         edge_attr_override: Optional[np.ndarray] = None,
         dense: Optional[bool] = None,
         mode: Optional[str] = None,
+        band_block: Optional[int] = None,
     ) -> "BatchedGraph":
         """Disjoint union of ``batch_size`` copies of this template.
 
@@ -249,7 +263,7 @@ class GraphTemplate:
             else:
                 mode = "dense" if dense else "padded"
         dense = mode == "dense"
-        key = (batch_size, edge_attr_override is None, mode)
+        key = (batch_size, edge_attr_override is None, mode, band_block)
         if key in self._batch_cache and edge_attr_override is None:
             return self._batch_cache[key]
 
@@ -278,7 +292,7 @@ class GraphTemplate:
                 d0["adj_sl_mask"], negative_slope=0.2
             )
         if mode == "banded":
-            bl = self.band_layout()
+            bl = self.band_layout(band_block)
             dense_ops = {
                 "band_adj_mask": jnp.asarray(bl.adj_mask),
                 "band_mean": jnp.asarray(bl.mean_band),

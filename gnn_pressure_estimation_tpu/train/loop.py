@@ -74,6 +74,13 @@ class TrainConfig:
     # (the dominant cost of WDN-scale epochs on a remote TPU). Best-epoch
     # checkpoints then hold block-end params (see Trainer._fit_fast).
     epochs_per_dispatch: int = 1
+    # aggregation-mode override for the batched template: None = auto
+    # (dense ≤ DENSE_THRESHOLD nodes, banded above) | "dense" | "banded" |
+    # "padded".  band_block sets the banded block-row size (default 256) —
+    # small graphs with a narrow RCM band can beat the dense n² path with
+    # band_block 64-128 (n_pad·W < n² bytes on the attention chain).
+    agg_mode: Optional[str] = None
+    band_block: Optional[int] = None
 
 
 def make_criterion(name: str) -> Callable:
@@ -180,7 +187,9 @@ class Trainer:
     def _batched_graph(self, template: GraphTemplate, bs: int) -> BatchedGraph:
         key = (id(template), bs)
         if key not in self._graph_cache:
-            self._graph_cache[key] = template.batch(bs)
+            self._graph_cache[key] = template.batch(
+                bs, mode=self.cfg.agg_mode, band_block=self.cfg.band_block
+            )
         return self._graph_cache[key]
 
     def _masked_loss_and_metrics(self, params, graph, x, y, mask, n_masked, prefix):

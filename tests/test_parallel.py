@@ -136,7 +136,6 @@ def test_distributed_grads_match_single_device(rng):
 def _banded_chain_template(rng, n=64):
     """A genuinely banded graph (i~i±1, some i~i±2) with a tiny band layout."""
     from gnn_pressure_estimation_tpu.core.graph import GraphTemplate
-    import gnn_pressure_estimation_tpu.ops.banded as B
 
     s, r = [], []
     for i in range(n - 1):
@@ -145,7 +144,7 @@ def _banded_chain_template(rng, n=64):
         if rng.random() < 0.5:
             s += [i, i + 2]; r += [i + 2, i]
     tpl = GraphTemplate(n, np.array(s), np.array(r))
-    tpl._band_cache = B.build_band_layout(tpl, block=8, lane=8)
+    tpl.band_layout(block=8, lane=8)  # pre-seed the layout cache
     return tpl
 
 
