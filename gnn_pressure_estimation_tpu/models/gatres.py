@@ -30,15 +30,18 @@ class GATResBlock(nn.Module):
     channels: int
     dtype: jnp.dtype = jnp.float32
     attn_dtype: jnp.dtype = None
+    attn_impl: str = "softmax"
 
     @nn.compact
     def __call__(self, x: jax.Array, graph: BatchedGraph) -> jax.Array:
         nc = self.channels
         x0 = x
         x = nn.relu(GATConv(nc, heads=2, concat=True, dtype=self.dtype,
-                            attn_dtype=self.attn_dtype)(x, graph))
+                            attn_dtype=self.attn_dtype,
+                            attn_impl=self.attn_impl)(x, graph))
         x = GATConv(nc, heads=1, concat=False, dtype=self.dtype,
-                    attn_dtype=self.attn_dtype)(x, graph)
+                    attn_dtype=self.attn_dtype,
+                    attn_impl=self.attn_impl)(x, graph)
         x = SimpleMeanConv()(x, graph) + x0
         return nn.relu(x)
 
@@ -58,6 +61,7 @@ class GATRes(nn.Module):
     out_channels: int = 1
     dtype: jnp.dtype = jnp.float32
     attn_dtype: jnp.dtype = None
+    attn_impl: str = "softmax"
     remat: bool = False
 
     @nn.compact
@@ -68,6 +72,8 @@ class GATRes(nn.Module):
         block_cls = nn.remat(GATResBlock) if self.remat else GATResBlock
         for i in range(self.num_blocks):
             x = block_cls(self.channels, dtype=self.dtype,
-                          attn_dtype=self.attn_dtype, name=f"block_{i}")(x, graph)
+                          attn_dtype=self.attn_dtype,
+                          attn_impl=self.attn_impl,
+                          name=f"block_{i}")(x, graph)
         x = nn.Dense(self.out_channels, kernel_init=glorot, name="lin1")(x)
         return x

@@ -92,6 +92,26 @@ class GATConv(nn.Module):
     # storage dtype for the materialized [B,n,n,H] attention tensor on the
     # dense path (softmax math stays f32); bf16 halves its HBM round-trips
     attn_dtype: Optional[jnp.dtype] = None
+    # Dense-path attention implementation (see BASELINE.md roofline notes):
+    #   "softmax"  — materialized logits → jax.nn.softmax → einsum (the
+    #                original formulation; ~2.5 fused HBM passes per layer
+    #                over the [B,n,n,H] chain).
+    #   "onepass"  — materialize the softmax *numerator* exactly once: the
+    #                row max comes from the sender halves alone (leaky_relu
+    #                is monotone, so max_j lrelu(a_d[i]+a_s[j]) =
+    #                lrelu(a_d[i] + max_{j∈N(i)} a_s[j])), the max is
+    #                stop_gradient'ed (softmax is shift-invariant → exact),
+    #                and 1/Z is applied after the aggregation matmul.
+    #                Fewer HBM bytes, but the n² exp chain is VPU-bound.
+    #   "factored" — exp(lrelu(a_d+a_s)) = [s≥0]·e^{a_d}e^{a_s} +
+    #                [s<0]·e^{αa_d}e^{αa_s}: the numerator splits into two
+    #                rank-1 products gated by the 0/1 sign matrix
+    #                P = A·[s≥0] (which has zero gradient).  All
+    #                transcendentals collapse to per-node vectors; the only
+    #                n² elementwise work is one compare, and the rest is
+    #                MXU matmuls against P and the static adjacency.  Same
+    #                math as "softmax" up to fp rounding.
+    attn_impl: str = "softmax"
 
     @nn.compact
     def __call__(self, x: jax.Array, graph: BatchedGraph) -> jax.Array:
@@ -130,6 +150,68 @@ class GATConv(nn.Module):
                     xp_b.transpose(0, 2, 1, 3),
                 )  # [B, H, n, C]
                 out = out.transpose(0, 2, 1, 3).reshape(-1, H, C).astype(self.dtype)
+            elif self.attn_impl == "onepass":
+                store = self.attn_dtype or self.dtype
+                mask = graph.adj_sl_mask[None, :, :, None]
+                ms = jnp.max(
+                    jnp.where(mask, a_s[:, None, :, :], NEG_INF), axis=2
+                )                                                  # [B, i, H]
+                m = jax.lax.stop_gradient(
+                    nn.leaky_relu(a_d + ms, self.negative_slope)
+                )
+                y = nn.leaky_relu(
+                    a_d[:, :, None, :] + a_s[:, None, :, :], self.negative_slope
+                )
+                num = jnp.where(
+                    mask, jnp.exp(y - m[:, :, None, :]), 0.0
+                ).astype(store)                                    # [B, i, j, H]
+                z = jnp.sum(num, axis=2, dtype=jnp.float32)        # [B, i, H]
+                out = jnp.einsum(
+                    "bijh,bjhc->bihc", num, xp_b.astype(store),
+                    preferred_element_type=jnp.float32,
+                )
+                out = (out / z[:, :, :, None]).astype(self.dtype).reshape(-1, H, C)
+            elif self.attn_impl == "factored":
+                # Working range: exp of per-node logit halves must stay
+                # finite in f32 (|a| ≲ 80 after the row-max shift) — holds
+                # by orders of magnitude for trained GATs; the softmax path
+                # is the fallback for adversarial logit scales.
+                store = self.attn_dtype or self.dtype
+                al = self.negative_slope
+                mask = graph.adj_sl_mask[None, :, :, None]
+                ms = jnp.max(
+                    jnp.where(mask, a_s[:, None, :, :], NEG_INF), axis=2
+                )                                                  # [B, i, H]
+                m = jax.lax.stop_gradient(
+                    nn.leaky_relu(a_d + ms, self.negative_slope)
+                )
+                cs = jax.lax.stop_gradient(
+                    nn.relu(jnp.max(a_s, axis=1, keepdims=True))
+                )                                                  # [B, 1, H]
+                u = jnp.exp(a_d - m)                               # [B, i, H]
+                p = jnp.exp(al * a_d - m)
+                v = jnp.exp(a_s - cs)                              # [B, j, H]
+                q = jnp.exp(al * a_s - cs)
+                # 0/1 sign gate (zero-gradient: compare output is
+                # nondifferentiable, so autodiff never transposes through P)
+                s = a_d[:, :, None, :] + a_s[:, None, :, :]
+                P = jnp.where(mask & (s >= 0), 1.0, 0.0).astype(store)
+                ones = jnp.ones(xp_b.shape[:-1] + (1,), xp_b.dtype)
+                xa = jnp.concatenate([xp_b, ones], axis=-1)        # [B,j,H,C+1]
+                vx = (v[..., None] * xa).astype(store)
+                qx = (q[..., None] * xa).astype(store)
+                t_adj = jnp.einsum(
+                    "ij,bjhc->bihc", graph.adj_sl_mask.astype(store), qx,
+                    preferred_element_type=jnp.float32,
+                )
+                t_p = jnp.einsum(
+                    "bijh,bjhc->bihc", P, jnp.concatenate([vx, qx], axis=-1),
+                    preferred_element_type=jnp.float32,
+                )
+                t_pv, t_pq = t_p[..., : C + 1], t_p[..., C + 1:]
+                outz = u[..., None] * t_pv + p[..., None] * (t_adj - t_pq)
+                out = (outz[..., :C] / outz[..., C:]).astype(self.dtype)
+                out = out.reshape(-1, H, C)
             else:
                 logits = a_d[:, :, None, :] + a_s[:, None, :, :]  # [B, i, j, H]
                 logits = nn.leaky_relu(logits, self.negative_slope)

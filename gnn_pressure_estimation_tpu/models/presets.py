@@ -39,12 +39,19 @@ class ModelPreset:
 
 
 MODEL_REGISTRY: dict[str, ModelPreset] = {
+    # attn_impl="factored": the exp(leaky_relu) numerator is computed as two
+    # rank-1 products gated by the sign matrix — all transcendentals become
+    # per-node vectors and the n² work rides the MXU (see models/layers.py).
+    # Same math as the textbook softmax up to fp rounding (parity-tested);
+    # measured 6.87 ms vs 7.42 ms per train step on the headline config.
     "gatres_small": ModelPreset(
-        "gatres_small", lambda: GATRes(num_blocks=15, channels=32),
+        "gatres_small", lambda: GATRes(num_blocks=15, channels=32,
+                                       attn_impl="factored"),
         criterion="mse", norm_type="znorm",
     ),
     "gatres_large": ModelPreset(
-        "gatres_large", lambda: GATRes(num_blocks=25, channels=128),
+        "gatres_large", lambda: GATRes(num_blocks=25, channels=128,
+                                       attn_impl="factored"),
         criterion="mse", norm_type="znorm",
     ),
     "gin": ModelPreset(

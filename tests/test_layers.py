@@ -28,6 +28,37 @@ def test_gatconv_matches_dense_oracle(rng):
         np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-4, atol=1e-4)
 
 
+def test_gatconv_attn_impls_match_softmax(rng):
+    """"onepass" and "factored" are algebraic rewrites of the dense softmax
+    attention (models/layers.py:95-113) — forward AND parameter gradients
+    must match the materialized-softmax path to fp rounding."""
+    tpl = random_graph(rng, n=20, extra_edges=12)
+    g = tpl.batch(2)
+    x = jnp.asarray(rng.standard_normal((40, 6)).astype(np.float32))
+
+    def run(impl):
+        layer = layers.GATConv(out_channels=4, heads=2, concat=True,
+                               attn_impl=impl)
+        params = layer.init(jax.random.PRNGKey(7), x, g)
+        out = layer.apply(params, x, g)
+        grads = jax.grad(
+            lambda p: jnp.sum(jnp.tanh(layer.apply(p, x, g)))
+        )(params)
+        return params, np.asarray(out), grads
+
+    p_ref, out_ref, g_ref = run("softmax")
+    for impl in ("onepass", "factored"):
+        p_alt, out_alt, g_alt = run(impl)
+        # identical init → identical params; only the impl differs
+        assert jax.tree.all(jax.tree.map(
+            lambda a, b: bool(jnp.array_equal(a, b)), p_ref, p_alt))
+        np.testing.assert_allclose(out_alt, out_ref, rtol=1e-5, atol=1e-5,
+                                   err_msg=impl)
+        for ka, kb in zip(jax.tree.leaves(g_alt), jax.tree.leaves(g_ref)):
+            np.testing.assert_allclose(np.asarray(ka), np.asarray(kb),
+                                       rtol=1e-4, atol=1e-5, err_msg=impl)
+
+
 def test_mean_conv(rng):
     tpl = random_graph(rng, n=12, extra_edges=5)
     g = tpl.batch(2)

@@ -35,6 +35,11 @@ def main():
     ap.add_argument("--model", default="gatres_small")
     ap.add_argument("--batch", default=32, type=int)
     ap.add_argument("--dtype", default=None, choices=[None, "bfloat16"])
+    ap.add_argument("--attn-dtype", default=None, choices=[None, "bfloat16"],
+                    help="storage dtype for the [B,n,n,H] attention tensors")
+    ap.add_argument("--attn-impl", default="softmax",
+                    choices=["softmax", "onepass", "factored"],
+                    help="dense-path attention implementation (GATRes)")
     ap.add_argument("--iters", default=20, type=int)
     ap.add_argument("--windows", default=5, type=int)
     ap.add_argument("--peak-flops", default=197e12, type=float,
@@ -62,6 +67,13 @@ def main():
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else None
     model, _ = select_model(args.model, dtype=dtype)
+    overrides = {}
+    if args.attn_dtype:
+        overrides["attn_dtype"] = jnp.bfloat16
+    if args.attn_impl != "softmax":
+        overrides["attn_impl"] = args.attn_impl
+    if overrides:
+        model = model.clone(**overrides)
     cfg = TrainConfig(batch_size=args.batch, mask_rate=0.95, criterion="mse",
                       seed=0)
     trainer = Trainer(model, cfg, NormStats(norm_type="znorm", mean=40.0, std=15.0), tpl)
@@ -101,6 +113,7 @@ def main():
     bound = "memory" if t_mem >= t_comp else "compute"
     report = {
         "model": args.model,
+        "variant": args.attn_impl + ("+attn_bf16" if args.attn_dtype else ""),
         "batch": bs,
         "n_node": tpl.n_node,
         "n_edge": tpl.n_edge,
