@@ -134,6 +134,121 @@ class Evaluator:
             self._step_cache[key] = compute
         return self._step_cache[key]
 
+    # -- batched noisy scenes -------------------------------------------
+    # noisy11/noisyNN scenes are single-snapshot datasets sharing one
+    # GraphTemplate; evaluating them one-by-one means batch-1 dispatches
+    # (latency-dominated through a remote-TPU tunnel).  Stack all N scenes
+    # on the batch axis and compute *per-scene* metrics from mask-weighted
+    # moments — algebraically identical to the gathered per-trial metrics
+    # (utils/metrics.py:107), one dispatch instead of N.
+
+    def _scenes_batchable(self, datasets) -> bool:
+        if self.cfg.criterion not in ("mse", "mae"):
+            return False
+        if not isinstance(datasets, (list, tuple)) or len(datasets) < 2:
+            return False
+        if not all(
+            len(ds.members) == 1 and len(ds.members[0].array) == 1
+            for ds in datasets
+        ):
+            return False
+        tid = id(datasets[0].members[0].template)
+        return all(id(ds.members[0].template) == tid for ds in datasets)
+
+    def _get_scene_metrics_fn(self, template, n_scenes, prefix):
+        key = (id(template), n_scenes, prefix, "scene")
+        if key not in self._step_cache:
+            n = template.n_node
+            st = self.stats
+            crit_name = self.cfg.criterion
+
+            @jax.jit
+            def compute(out, y, mask):
+                o = out.reshape(n_scenes, n)
+                t = y.reshape(n_scenes, n)
+                m = mask.reshape(n_scenes, n).astype(jnp.float32)
+                cnt = jnp.maximum(m.sum(axis=1), 1.0)
+                if crit_name == "mse":
+                    loss = (jnp.square(o - t) * m).sum(axis=1) / cnt
+                else:  # mae
+                    loss = (jnp.abs(o - t) * m).sum(axis=1) / cnt
+                mo = jax.vmap(metrics_mod.masked_moments)(
+                    descale_with(o, st), descale_with(t, st), m
+                )
+                mets = metrics_mod.metrics_from_moments(mo, prefix)
+                return loss, mets  # [N], dict of [N]
+
+            self._step_cache[key] = compute
+        return self._step_cache[key]
+
+    def run_scene_trials(
+        self,
+        datasets,
+        n_mask_draws: int,
+        prefix: str = "test",
+        timer: Optional[Timer] = None,
+    ) -> list[dict]:
+        """All scenes in one batch, ``n_mask_draws`` mask redraws.
+
+        Returns scene-major trial rows (matching the sequential noisyNN
+        loop order): each row has a/s (all-nodes / sensors-only)
+        (loss, metrics) scalars, plus timing, host-synced once."""
+        cfg = self.cfg
+        tpl = datasets[0].members[0].template
+        n = tpl.n_node
+        N = len(datasets)
+        xs = np.stack(
+            [np.asarray(ds.members[0].array[0], np.float32) for ds in datasets]
+        )
+        x = jnp.asarray(xs.reshape(-1, 1))  # [N*n, 1]
+        fwd, graph = self._get_fwd(tpl, N)
+        compute = self._get_scene_metrics_fn(tpl, N, prefix)
+        req = self._sensor_idx(tpl)
+        rng = np.random.default_rng(cfg.seed)
+        draws = []   # async device values, one host sync at the end
+        times = []
+        for _ in range(n_mask_draws):
+            row = {}
+            for sensors in (False, True):
+                key = jax.random.PRNGKey(int(rng.integers(0, 2**31 - 1)))
+                mask = batch_node_mask(
+                    key, N, n, cfg.mask_rate,
+                    required_idx=req if sensors else (),
+                    shared=cfg.use_same_mask,
+                )
+                x_in = jnp.where(mask[:, None], 0.0, x)
+                if graph.banded:
+                    x_in = graph.pack_nodes(x_in, n)
+                f = fwd
+                if timer is not None and not sensors:
+                    warm = cfg.gpu_warmup_times if not timer.finished_warmup else 0
+                    f = timer.auto_measure(fwd, N, warmup_times=warm)
+                out = f(self.params, x_in)
+                if graph.banded:
+                    out = graph.unpack_nodes(out, n)
+                row["s" if sensors else "a"] = compute(out, x, mask)
+            if timer is not None:
+                times.append(
+                    (timer.compute_time(N), timer.compute_throughput(N))
+                )
+                timer.timings.clear()
+                timer.num_graphs.clear()
+            draws.append(row)
+        draws = jax.device_get(draws)  # the single host sync
+        rows = []
+        for i in range(N):          # scene-major like the sequential loop
+            for j in range(n_mask_draws):
+                a_loss, a_mets = draws[j]["a"]
+                s_loss, s_mets = draws[j]["s"]
+                rows.append({
+                    "loss": float(a_loss[i]),
+                    "mets": {mk: float(mv[i]) for mk, mv in a_mets.items()},
+                    "s_loss": float(s_loss[i]),
+                    "s_mets": {mk: float(mv[i]) for mk, mv in s_mets.items()},
+                    "time": times[j] if times else None,
+                })
+        return rows
+
     def run_trial(
         self,
         dataset: WDNDataset,
@@ -225,21 +340,41 @@ class Evaluator:
             timer.timings.clear()
             timer.num_graphs.clear()
 
+        def collect_rows(rows):
+            for row in rows:
+                losses.append(row["loss"])
+                sensor_losses.append(row["s_loss"])
+                mets = dict(row["mets"])
+                if row["time"] is not None:
+                    mets["test_time"], mets["test_throughput"] = row["time"]
+                for mk, mv in mets.items():
+                    metric_lists[mk].append(mv)
+                for mk, mv in row["s_mets"].items():
+                    sensor_metric_lists[mk + "_sensor"].append(mv)
+
         if cfg.test_type == "clean":
             assert isinstance(datasets, WDNDataset)
             for trial in range(cfg.num_test_trials):
                 collect_once(datasets, trial)
         elif cfg.test_type == "noisy11":
             assert isinstance(datasets, (list, tuple))
-            for trial, ds in enumerate(datasets):
-                collect_once(ds, trial)
+            if self._scenes_batchable(datasets):
+                collect_rows(self.run_scene_trials(datasets, 1, timer=timer))
+            else:
+                for trial, ds in enumerate(datasets):
+                    collect_once(ds, trial)
         elif cfg.test_type == "noisyNN":
             assert isinstance(datasets, (list, tuple))
-            t = 0
-            for ds in datasets:
-                for _ in range(cfg.num_test_trials):
-                    collect_once(ds, t)
-                    t += 1
+            if self._scenes_batchable(datasets):
+                collect_rows(self.run_scene_trials(
+                    datasets, cfg.num_test_trials, timer=timer
+                ))
+            else:
+                t = 0
+                for ds in datasets:
+                    for _ in range(cfg.num_test_trials):
+                        collect_once(ds, t)
+                        t += 1
         else:
             raise NotImplementedError(f"test type {cfg.test_type}")
 

@@ -111,6 +111,12 @@ class GATConv(nn.Module):
     #                n² elementwise work is one compare, and the rest is
     #                MXU matmuls against P and the static adjacency.  Same
     #                math as "softmax" up to fp rounding.
+    # On the *banded* path "factored" intentionally falls back to the
+    # windowed softmax: the rewrite loses there (bigtown b4 large: 138.8 ms
+    # factored-f32 vs 97.0 softmax — the band windows are already narrow, so
+    # the saved transcendentals don't pay for the doubled matmul width; see
+    # BASELINE.md).  "band_factored" opts the banded branch in anyway
+    # (exact; ties softmax only with attn_dtype=bfloat16 stores).
     attn_impl: str = "softmax"
 
     @nn.compact
@@ -171,7 +177,7 @@ class GATConv(nn.Module):
                     preferred_element_type=jnp.float32,
                 )
                 out = (out / z[:, :, :, None]).astype(self.dtype).reshape(-1, H, C)
-            elif self.attn_impl == "factored":
+            elif self.attn_impl in ("factored", "band_factored"):
                 # Working range: exp of per-node logit halves must stay
                 # finite in f32 (|a| ≲ 80 after the row-max shift) — holds
                 # by orders of magnitude for trained GATs; the softmax path
@@ -234,10 +240,16 @@ class GATConv(nn.Module):
             a_src_win = _windows(a_src_b, graph)
             xp_win = _windows(xp_b, graph)
             xp_win = xp_win.reshape(xp_win.shape[:3] + (H, C))
-            out = bops.band_attention(
-                a_dst_b, a_src_win, xp_win, graph.band_adj_mask,
-                self.negative_slope,
-            ).reshape(-1, H, C)
+            if self.attn_impl == "band_factored":
+                out = bops.band_attention_factored(
+                    a_dst_b, a_src_win, xp_win, graph.band_adj_mask,
+                    self.negative_slope, store_dtype=self.attn_dtype,
+                ).reshape(-1, H, C)
+            else:
+                out = bops.band_attention(
+                    a_dst_b, a_src_win, xp_win, graph.band_adj_mask,
+                    self.negative_slope,
+                ).reshape(-1, H, C)
         elif graph.padded and self.add_self_loops:
             # Degree-padded attention (scatter-free at any graph size):
             # per-node fixed-width neighbor slots, masked softmax over slots.

@@ -197,3 +197,71 @@ def band_attention(
     out = jnp.einsum("nbiwh,nbwhc->nbihc", attn, x_win)  # [nB,B,BLK,H,C]
     C = x_win.shape[-1]
     return out.transpose(1, 0, 2, 3, 4).reshape(B, nB * BLK, H, C)
+
+
+def band_attention_factored(
+    a_dst: jax.Array,      # [B, n_pad, H]
+    a_src_win: jax.Array,  # [nB, B, W, H]
+    x_win: jax.Array,      # [nB, B, W, H, C]
+    adj_mask: jax.Array,   # [nB, BLK, W]
+    negative_slope: float,
+    store_dtype=None,
+) -> jax.Array:
+    """Factored band attention: the exp(leaky_relu) softmax numerator split
+    into two rank-1 products gated by the zero-gradient sign matrix (same
+    identity as the dense path, models/layers.py:106-113) — all
+    transcendentals become per-row/per-window vectors and the [nB,B,BLK,W,H]
+    work is one compare plus MXU matmuls.  Exact vs ``band_attention`` up to
+    fp rounding (|logit| ≲ 80 working range; softmax path is the fallback).
+
+    Banded-specific guards (the dense path never needs them): padded band
+    rows have NO self-loop, so their window is fully masked — the masked
+    row-max is clamped (exp stays finite) and Z is floored (0/eps → 0, not
+    NaN, keeping padded rows inert in later layers' windows).
+    """
+    nB, B, W, H = a_src_win.shape
+    BLK = adj_mask.shape[1]
+    C = x_win.shape[-1]
+    al = negative_slope
+    store = store_dtype or x_win.dtype
+    a_dst_b = a_dst.reshape(B, nB, BLK, H).transpose(1, 0, 2, 3)  # [nB,B,BLK,H]
+    mask = adj_mask[:, None, :, :]                                # [nB,1,BLK,W]
+    ms = jnp.max(
+        jnp.where(mask[..., None], a_src_win[:, :, None, :, :], -jnp.inf),
+        axis=3,
+    )                                                             # [nB,B,BLK,H]
+    ms = jnp.maximum(ms, -60.0)  # fully-masked (padded) rows: keep exp finite
+    m = jax.lax.stop_gradient(
+        jnp.where(a_dst_b + ms >= 0, a_dst_b + ms, al * (a_dst_b + ms))
+    )
+    cs = jax.lax.stop_gradient(
+        jax.nn.relu(jnp.max(a_src_win, axis=2, keepdims=True))
+    )                                                             # [nB,B,1,H]
+    u = jnp.exp(a_dst_b - m)                                      # [nB,B,BLK,H]
+    p = jnp.exp(al * a_dst_b - m)
+    v = jnp.exp(a_src_win - cs)                                   # [nB,B,W,H]
+    q = jnp.exp(al * a_src_win - cs)
+    s = a_dst_b[:, :, :, None, :] + a_src_win[:, :, None, :, :]   # [nB,B,BLK,W,H]
+    P = jnp.where(mask[..., None] & (s >= 0), 1.0, 0.0).astype(store)
+    ones = jnp.ones(x_win.shape[:-1] + (1,), x_win.dtype)
+    xa = jnp.concatenate([x_win, ones], axis=-1)                  # [nB,B,W,H,C+1]
+    vx = (v[..., None] * xa).astype(store)
+    qx = (q[..., None] * xa).astype(store)
+    t_adj = jnp.einsum(
+        "niw,nbwhc->nbihc", adj_mask.astype(store), qx,
+        preferred_element_type=jnp.float32,
+    )
+    t_p = jnp.einsum(
+        "nbiwh,nbwhc->nbihc", P, jnp.concatenate([vx, qx], axis=-1),
+        preferred_element_type=jnp.float32,
+    )
+    t_pv, t_pq = t_p[..., : C + 1], t_p[..., C + 1:]
+    outz = u[..., None] * t_pv + p[..., None] * (t_adj - t_pq)
+    # Padded (neighborless) rows have Z == 0 exactly; substitute Z = 1 there so
+    # the output is a clean 0/1 = 0.  A tiny floor (1e-30) is NOT enough: the
+    # division backward evaluates -x/Z^2 and Z^2 underflows f32 to 0 → 0/0 NaN.
+    valid = jnp.any(adj_mask, axis=2)                             # [nB,BLK]
+    z = jnp.where(valid[:, None, :, None, None],
+                  jnp.maximum(outz[..., C:], 1e-30), 1.0)
+    out = (outz[..., :C] / z).astype(x_win.dtype)
+    return out.transpose(1, 0, 2, 3, 4).reshape(B, nB * BLK, H, C)

@@ -103,6 +103,60 @@ def test_noisy11_and_noisyNN(mini_setup):
     assert np.isfinite(losses["test_loss_mean"])
 
 
+def test_scene_metrics_match_gathered(mini_setup):
+    """Batched per-scene moment metrics == the gathered per-trial metrics fn,
+    row by row (same out/y/mask)."""
+    import jax.numpy as jnp
+    from gnn_pressure_estimation_tpu.utils.masking import masked_count
+
+    s = mini_setup
+    cfg = EvalConfig(test_type="noisy11", num_test_trials=3, batch_size=1,
+                     mask_rate=0.5, gpu_warmup_times=0)
+    ev = Evaluator(s["model"], cfg, s["stats"])
+    tpl = s["test"].members[0].template
+    n, N = tpl.n_node, 3
+    rng = np.random.default_rng(7)
+    out = jnp.asarray(rng.standard_normal((N * n, 1)).astype(np.float32))
+    y = jnp.asarray((rng.standard_normal((N * n, 1)) * 0.5).astype(np.float32))
+    k = masked_count(n, 0.5)
+    mask_rows = np.zeros((N, n), bool)
+    for i in range(N):
+        mask_rows[i, rng.choice(n, size=k, replace=False)] = True
+    mask = jnp.asarray(mask_rows.reshape(-1))
+
+    loss_b, mets_b = ev._get_scene_metrics_fn(tpl, N, "test")(out, y, mask)
+    gfn = ev._get_metrics_fn(tpl, 1, "test")
+    for i in range(N):
+        sl = slice(i * n, (i + 1) * n)
+        loss_g, mets_g = gfn(out[sl], y[sl], mask[sl])
+        np.testing.assert_allclose(float(loss_b[i]), float(loss_g), rtol=1e-5)
+        for mk in mets_g:
+            np.testing.assert_allclose(
+                float(mets_b[mk][i]), float(mets_g[mk]), rtol=1e-4, atol=1e-5,
+                err_msg=mk,
+            )
+
+
+def test_scene_trials_structure(mini_setup):
+    """run_scene_trials: N scenes x M draws rows, scene-major, finite, timed."""
+    from gnn_pressure_estimation_tpu.evaluation.timer import Timer
+
+    s = mini_setup
+    cfg = EvalConfig(test_type="noisyNN", num_test_trials=2, batch_size=1,
+                     mask_rate=0.5, gpu_warmup_times=0, mean_dmd=0.05,
+                     std_dmd=0.1, sensor_names=None)
+    scenes = make_noisy_scenes([s["inp"]] , cfg, s["stats"])
+    ev = Evaluator(s["model"], cfg, s["stats"])
+    assert ev._scenes_batchable(scenes)
+    ev.params = s["params"]
+    rows = ev.run_scene_trials(scenes, 2, timer=Timer())
+    assert len(rows) == len(scenes) * 2
+    for row in rows:
+        assert np.isfinite(row["loss"]) and np.isfinite(row["s_loss"])
+        assert np.isfinite(list(row["mets"].values())).all()
+        assert row["time"] is not None and row["time"][0] > 0
+
+
 def test_same_mask_flag(mini_setup):
     s = mini_setup
     cfg = EvalConfig(test_type="clean", num_test_trials=1, batch_size=2,

@@ -237,6 +237,36 @@ def test_banded_mode_matches_dense_mode(rng):
         )
 
 
+def test_banded_factored_attention_matches_softmax(rng):
+    """band_attention_factored == band_attention through a full GATRes
+    (forward + grads), including padded band rows (Z=0 guard)."""
+    from gnn_pressure_estimation_tpu.models.gatres import GATRes
+
+    tpl = random_graph(rng, n=40, extra_edges=25)
+    B = 2
+    g_band = tpl.batch(B, mode="banded")
+    assert g_band.banded and g_band.band_n_pad > 40  # real padded rows
+    x = jnp.asarray(rng.standard_normal((B * 40, 1)).astype(np.float32))
+    xb = g_band.pack_nodes(x, 40)
+    m_soft = GATRes(num_blocks=2, channels=8, attn_impl="softmax")
+    m_fact = GATRes(num_blocks=2, channels=8, attn_impl="band_factored")
+    params = m_soft.init(jax.random.PRNGKey(0), xb, g_band)
+    o_s = m_soft.apply(params, xb, g_band)
+    o_f = m_fact.apply(params, xb, g_band)
+    assert np.isfinite(np.asarray(o_f)).all()
+    real = np.asarray(g_band.unpack_nodes(o_f, 40))
+    np.testing.assert_allclose(
+        real, np.asarray(g_band.unpack_nodes(o_s, 40)), rtol=1e-4, atol=1e-5
+    )
+    g_ref = jax.grad(lambda p: jnp.sum(jnp.tanh(
+        g_band.unpack_nodes(m_soft.apply(p, xb, g_band), 40))))(params)
+    g_alt = jax.grad(lambda p: jnp.sum(jnp.tanh(
+        g_band.unpack_nodes(m_fact.apply(p, xb, g_band), 40))))(params)
+    for ka, kb in zip(jax.tree.leaves(g_alt), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(ka), np.asarray(kb),
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_fused_attention_kernel_parity(rng):
     """Pallas fused masked-attention kernel == einsum dense path (interpret)."""
     import dataclasses as dc
