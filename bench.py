@@ -69,19 +69,30 @@ def main():
         params, opt_state, loss, _ = step(params, opt_state, x, x, key)
     jax.block_until_ready(loss)
 
-    # best-of-k timed windows: a single window is hostage to transient
-    # host/device contention (this chip is shared through a relay); the
-    # fastest complete window is the reproducible steady-state number
-    iters, windows = 20, 5
+    # Adaptive best-of-k timed windows: a single window is hostage to
+    # transient host/device contention (this chip is shared through a
+    # relay), and a fresh process pays cold-start effects (compile just
+    # happened, device clocks/allocator settling) that can depress several
+    # consecutive windows.  Keep sampling until the best window has not
+    # improved by >1% for `patience` windows, so a cold first run converges
+    # to the same steady-state number as a warm one.
+    iters, min_windows, max_windows, patience = 20, 5, 15, 3
     best_dt = math.inf
-    for w in range(windows):
+    stale = 0
+    for w in range(max_windows):
         t0 = time.perf_counter()
         for i in range(iters):
             params, opt_state, loss, _ = step(
                 params, opt_state, x, x, jax.random.fold_in(key, w * iters + i)
             )
         jax.block_until_ready(loss)
-        best_dt = min(best_dt, time.perf_counter() - t0)
+        dt_w = time.perf_counter() - t0
+        if dt_w < best_dt * 0.99:
+            best_dt, stale = min(best_dt, dt_w), 0
+        else:
+            stale += 1
+            if w + 1 >= min_windows and stale >= patience:
+                break
     dt = best_dt
 
     # message edges per step: per GATRes block 2 GAT layers run over E+N
