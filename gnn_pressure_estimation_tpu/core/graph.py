@@ -293,7 +293,19 @@ class GraphTemplate:
             )
         if mode == "banded":
             bl = self.band_layout(band_block)
+            band_attn = None
+            if os.environ.get("GNN_TPU_BAND_ATTN", "1") == "1":
+                # default-on; the layer only routes here when its head·channel
+                # width fills the 128-lane grid (measured: GATRes-large
+                # bigtown 97.0 → 70.5 ms; GATRes-small (H·C=32) would lose,
+                # 50.0 → 85.1 ms, and stays on the XLA band path)
+                from gnn_pressure_estimation_tpu.ops.pallas.band_attention import (
+                    make_band_attention,
+                )
+
+                band_attn = make_band_attention(bl.adj_mask, negative_slope=0.2)
             dense_ops = {
+                "band_attn": band_attn,
                 "band_adj_mask": jnp.asarray(bl.adj_mask),
                 "band_mean": jnp.asarray(bl.mean_band),
                 "band_gcn": jnp.asarray(bl.gcn_band),
@@ -435,7 +447,7 @@ class GraphTemplate:
         "band_inv_perm",
     ],
     meta_fields=["n_node", "n_edge", "n_graph", "nodes_per_graph", "axis_name",
-                 "gather_dp", "gather_dp_sl", "fused_attn",
+                 "gather_dp", "gather_dp_sl", "fused_attn", "band_attn",
                  "band_win_start", "band_W", "band_n_pad"],
 )
 @dataclasses.dataclass(frozen=True)
@@ -503,6 +515,9 @@ class BatchedGraph:
     # fused masked-attention kernel (ops/pallas/graph_attention.py), built
     # for dense-mode graphs; static (meta) like the padded gathers
     fused_attn: Optional[Any] = None
+    # fused banded-attention kernel (ops/pallas/band_attention.py), built
+    # for banded-mode graphs; static (meta) like fused_attn
+    band_attn: Optional[Any] = None
 
     @property
     def dense(self) -> bool:

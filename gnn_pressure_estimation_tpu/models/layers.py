@@ -240,7 +240,16 @@ class GATConv(nn.Module):
             a_src_win = _windows(a_src_b, graph)
             xp_win = _windows(xp_b, graph)
             xp_win = xp_win.reshape(xp_win.shape[:3] + (H, C))
-            if self.attn_impl == "band_factored":
+            if (graph.band_attn is not None and self.negative_slope == 0.2
+                    and H * C >= 128):
+                # fused Pallas band kernel: logits/softmax/attn@x stay in
+                # VMEM.  Only when H·C fills the 128-lane grid — narrower
+                # layers (GATRes-small: H·C=32) are lane-starved in the
+                # kernel and faster on the XLA band path (BASELINE.md).
+                out = graph.band_attn(
+                    a_dst_b, a_src_win, xp_win
+                ).reshape(-1, H, C)
+            elif self.attn_impl == "band_factored":
                 out = bops.band_attention_factored(
                     a_dst_b, a_src_win, xp_win, graph.band_adj_mask,
                     self.negative_slope, store_dtype=self.attn_dtype,

@@ -1,0 +1,196 @@
+"""Fused banded graph attention — Pallas TPU kernel.
+
+The banded (RCM local-attention) path materializes ``[nB, B, BLK, W, H]``
+logits and attention tensors in HBM (~290 MB per layer at bigtown scale,
+``nB=46 · B=8 · BLK=128 · W=768 · H=2``); the roofline run showed the XLA
+band path pinned at the HBM roof on exactly that traffic (BASELINE.md).
+This kernel fuses the whole banded attention — additive logits, LeakyReLU,
+adjacency mask, windowed softmax, and the attn @ x_win aggregation — per
+(block-row, graph) grid cell entirely in VMEM, writing only the
+``[BLK, H·C]`` output block.  The backward recomputes the attention
+flash-style from the (tiny) logit halves, so no [BLK, W] tensor ever
+touches HBM in either direction.
+
+As in the dense kernel (``graph_attention.py``), GAT logits are additive
+(αd_i + αs_j): there is no Q·Kᵀ matmul, and the MXU work is attn @ x_win
+(forward) and attnᵀ @ dO / dO @ x_winᵀ (backward).
+
+Semantics match ``ops.banded.band_attention`` exactly, including the
+padded-band-row behavior (fully-masked rows produce a uniform 1/W
+attention; those rows are never read back by real rows and are dropped by
+``unpack_nodes``).  cf. reference GATConv semantics `GraphModels.py:454-494`
+(PyG GATConv: self-loops, LeakyReLU(0.2), per-receiver softmax).
+
+Shapes: a_dst [B, n_pad, H] · a_src_win [nB, B, W, H] · x_win
+[nB, B, W, H, C] · adj_mask [nB, BLK, W] → out [B, n_pad, H, C].
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG = -1e9
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def make_band_attention(
+    adj_mask: np.ndarray,
+    negative_slope: float,
+    interpret: Optional[bool] = None,
+):
+    """Factory capturing the template's band adjacency mask
+    ``[nB, BLK, W]`` (1.0 = edge incl. self-loop, in window coordinates).
+    Returns ``attend(a_dst, a_src_win, x_win) -> [B, n_pad, H, C]`` with a
+    fused recompute VJP.
+
+    The window axis W is padded to the 128-lane grid; pad columns are dead
+    via the mask.  BLK (the sublane axis of every [BLK, W] tile) is a
+    multiple of 8 by construction (``build_band_layout`` block sizes).
+    """
+    from jax.experimental import pallas as pl
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    nB, BLK, W = adj_mask.shape
+    W_pad = _round_up(W, 128)
+    # VMEM guard: the backward holds several [BLK, W_pad] f32 tiles plus the
+    # [W_pad, H·C] window operands live at once; past ~1 MB per logits tile
+    # (BLK 512 at bigtown widths) Mosaic blows the 16 MB VMEM budget and the
+    # compile fails.  Refuse to build — callers fall back to the XLA band
+    # path (BLK 256 measured fastest under the kernel anyway, BASELINE.md).
+    if BLK * W_pad * 4 > (1 << 20):
+        return None
+    maskf = np.zeros((nB, BLK, W_pad), np.float32)
+    maskf[:, :, :W] = np.asarray(adj_mask, np.float32)
+    maskf = jnp.asarray(maskf)
+    slope = float(negative_slope)
+
+    def _attn(ad_col, as_row, mk):
+        z = ad_col + as_row                       # [BLK, W_pad]
+        z = jnp.where(z >= 0, z, slope * z)
+        z = z * mk + (1.0 - mk) * NEG
+        m = jnp.max(z, axis=1, keepdims=True)
+        p = jnp.exp(z - m)
+        return p / jnp.sum(p, axis=1, keepdims=True), z
+
+    def fwd_kernel(adst_ref, asrc_ref, x_ref, mask_ref, o_ref):
+        mk = mask_ref[0]                          # [BLK, W_pad]
+        H = adst_ref.shape[-1]
+        C = x_ref.shape[-1] // H
+        for h in range(H):
+            ad_col = adst_ref[0, 0][:, h : h + 1]     # [BLK, 1]
+            as_row = asrc_ref[0, 0][h : h + 1, :]     # [1, W_pad]
+            p, _ = _attn(ad_col, as_row, mk)
+            o_ref[0, 0, :, h * C : (h + 1) * C] = jnp.dot(
+                p, x_ref[0, 0][:, h * C : (h + 1) * C],
+                preferred_element_type=jnp.float32,
+            )
+
+    def bwd_kernel(adst_ref, asrc_ref, x_ref, mask_ref, do_ref,
+                   dadst_ref, dasrc_ref, dx_ref):
+        mk = mask_ref[0]
+        H = adst_ref.shape[-1]
+        C = x_ref.shape[-1] // H
+        for h in range(H):
+            ad_col = adst_ref[0, 0][:, h : h + 1]
+            as_row = asrc_ref[0, 0][h : h + 1, :]
+            p, _ = _attn(ad_col, as_row, mk)
+            do_h = do_ref[0, 0][:, h * C : (h + 1) * C]   # [BLK, C]
+            x_h = x_ref[0, 0][:, h * C : (h + 1) * C]     # [W_pad, C]
+            # dX = attnᵀ @ dO
+            dx_ref[0, 0, :, h * C : (h + 1) * C] = jax.lax.dot_general(
+                p, do_h, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            # dattn = dO @ Xᵀ ; softmax VJP: dz = P ∘ (dattn − rowsum(dattn∘P))
+            dp = jax.lax.dot_general(
+                do_h, x_h, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            delta = jnp.sum(dp * p, axis=1, keepdims=True)
+            dz = p * (dp - delta)
+            # LeakyReLU VJP on pre-mask logits (masked entries: P=0 ⇒ dz=0)
+            zpre = ad_col + as_row
+            dz = jnp.where(zpre >= 0, dz, slope * dz)
+            dadst_ref[0, 0, :, h : h + 1] = jnp.sum(dz, axis=1, keepdims=True)
+            dasrc_ref[0, 0, h : h + 1, :] = jnp.sum(dz, axis=0, keepdims=True)
+
+    def _specs(B, H, HC):
+        return [
+            pl.BlockSpec((1, 1, BLK, H), lambda i, b: (i, b, 0, 0)),
+            pl.BlockSpec((1, 1, H, W_pad), lambda i, b: (i, b, 0, 0)),
+            pl.BlockSpec((1, 1, W_pad, HC), lambda i, b: (i, b, 0, 0)),
+            pl.BlockSpec((1, BLK, W_pad), lambda i, b: (i, 0, 0)),
+        ]
+
+    def _call_fwd(adst_b, asrcT, x_r):
+        B, H = adst_b.shape[1], adst_b.shape[-1]
+        HC = x_r.shape[-1]
+        return pl.pallas_call(
+            fwd_kernel,
+            grid=(nB, B),
+            in_specs=_specs(B, H, HC),
+            out_specs=pl.BlockSpec((1, 1, BLK, HC), lambda i, b: (i, b, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((nB, B, BLK, HC), jnp.float32),
+            interpret=interpret,
+        )(adst_b, asrcT, x_r, maskf)
+
+    @jax.custom_vjp
+    def attend_core(adst_b, asrcT, x_r):
+        return _call_fwd(adst_b, asrcT, x_r)
+
+    def fwd_fn(adst_b, asrcT, x_r):
+        return _call_fwd(adst_b, asrcT, x_r), (adst_b, asrcT, x_r)
+
+    def bwd_fn(res, g):
+        adst_b, asrcT, x_r = res
+        B, H = adst_b.shape[1], adst_b.shape[-1]
+        HC = x_r.shape[-1]
+        d_adst, d_asrc, d_x = pl.pallas_call(
+            bwd_kernel,
+            grid=(nB, B),
+            in_specs=_specs(B, H, HC) + [
+                pl.BlockSpec((1, 1, BLK, HC), lambda i, b: (i, b, 0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, BLK, H), lambda i, b: (i, b, 0, 0)),
+                pl.BlockSpec((1, 1, H, W_pad), lambda i, b: (i, b, 0, 0)),
+                pl.BlockSpec((1, 1, W_pad, HC), lambda i, b: (i, b, 0, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((nB, B, BLK, H), jnp.float32),
+                jax.ShapeDtypeStruct((nB, B, H, W_pad), jnp.float32),
+                jax.ShapeDtypeStruct((nB, B, W_pad, HC), jnp.float32),
+            ],
+            interpret=interpret,
+        )(adst_b, asrcT, x_r, maskf, g)
+        return d_adst, d_asrc, d_x
+
+    attend_core.defvjp(fwd_fn, bwd_fn)
+
+    def attend(a_dst, a_src_win, x_win):
+        """a_dst [B, n_pad, H] · a_src_win [nB, B, W, H] · x_win
+        [nB, B, W, H, C] → [B, n_pad, H, C].  Layout transforms (block-major
+        a_dst, head-major a_src, W pad) live outside the custom VJP so JAX
+        transposes them natively."""
+        _nB, B, _W, H, C = x_win.shape
+        assert (_nB, _W) == (nB, W), (x_win.shape, adj_mask.shape)
+        adst_b = a_dst.reshape(B, nB, BLK, H).transpose(1, 0, 2, 3)
+        asrcT = jnp.pad(
+            a_src_win.transpose(0, 1, 3, 2), ((0, 0),) * 3 + ((0, W_pad - W),)
+        )
+        x_r = jnp.pad(
+            x_win.reshape(nB, B, W, H * C),
+            ((0, 0), (0, 0), (0, W_pad - W), (0, 0)),
+        )
+        out = attend_core(adst_b, asrcT, x_r)          # [nB, B, BLK, H·C]
+        return out.transpose(1, 0, 2, 3).reshape(B, nB * BLK, H, C)
+
+    return attend

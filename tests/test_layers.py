@@ -267,6 +267,83 @@ def test_banded_factored_attention_matches_softmax(rng):
                                    rtol=1e-4, atol=1e-5)
 
 
+def test_band_attention_kernel_parity(rng):
+    """Pallas fused band kernel == ops.banded.band_attention on valid rows
+    (forward + input grads, interpret mode).  Fully-masked padded band rows
+    are excluded: the reference computes a uniform softmax over W there, the
+    kernel over W_pad — both are garbage that unpack_nodes drops and no real
+    row ever reads."""
+    from gnn_pressure_estimation_tpu.ops import banded as bops
+    from gnn_pressure_estimation_tpu.ops.pallas.band_attention import (
+        make_band_attention,
+    )
+
+    nB, B, BLK, W, H, C = 3, 2, 16, 40, 2, 8
+    n_pad = nB * BLK
+    adj = rng.random((nB, BLK, W)) < 0.3
+    adj[-1, -4:, :] = False  # padded (fully-masked) rows
+    vm = jnp.asarray(adj.any(-1).reshape(-1))[None, :, None, None].astype(
+        jnp.float32
+    )
+    a_dst = jnp.asarray(rng.standard_normal((B, n_pad, H)).astype(np.float32))
+    a_src = jnp.asarray(rng.standard_normal((nB, B, W, H)).astype(np.float32))
+    x = jnp.asarray(rng.standard_normal((nB, B, W, H, C)).astype(np.float32))
+    adjj = jnp.asarray(adj)
+
+    att = make_band_attention(adj, 0.2, interpret=True)
+    ref = bops.band_attention(a_dst, a_src, x, adjj, 0.2) * vm
+    out = att(a_dst, a_src, x) * vm
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+    def loss(f):
+        return lambda args: jnp.sum(jnp.tanh(f(*args)) * vm)
+
+    g_ref = jax.grad(loss(
+        lambda ad, asr, xx: bops.band_attention(ad, asr, xx, adjj, 0.2)
+    ))((a_dst, a_src, x))
+    g_ker = jax.grad(loss(att))((a_dst, a_src, x))
+    for a, b in zip(g_ker, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_band_kernel_routing_through_model(rng):
+    """A wide GATRes (H·C ≥ 128) on a banded graph with band_attn attached
+    routes through the Pallas kernel and matches the XLA band path."""
+    import dataclasses as dc
+    from gnn_pressure_estimation_tpu.models.gatres import GATRes
+    from gnn_pressure_estimation_tpu.ops.pallas.band_attention import (
+        make_band_attention,
+    )
+
+    tpl = random_graph(rng, n=40, extra_edges=25)
+    B = 2
+    g_plain = tpl.batch(B, mode="banded")
+    g_plain = dc.replace(g_plain, band_attn=None)
+    att = make_band_attention(
+        np.asarray(g_plain.band_adj_mask), 0.2, interpret=True
+    )
+    g_kernel = dc.replace(g_plain, band_attn=att)
+    x = jnp.asarray(rng.standard_normal((B * 40, 1)).astype(np.float32))
+    xb = g_plain.pack_nodes(x, 40)
+    model = GATRes(num_blocks=1, channels=128)  # H·C = 128: kernel-eligible
+    params = model.init(jax.random.PRNGKey(0), xb, g_plain)
+    o1 = g_plain.unpack_nodes(model.apply(params, xb, g_plain), 40)
+    o2 = g_kernel.unpack_nodes(model.apply(params, xb, g_kernel), 40)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                               rtol=1e-4, atol=1e-5)
+
+    def loss(p, g):
+        return jnp.sum(g.unpack_nodes(model.apply(p, xb, g), 40) ** 2)
+
+    g1 = jax.grad(loss)(params, g_plain)
+    g2 = jax.grad(loss)(params, g_kernel)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-4)
+
+
 def test_fused_attention_kernel_parity(rng):
     """Pallas fused masked-attention kernel == einsum dense path (interpret)."""
     import dataclasses as dc
