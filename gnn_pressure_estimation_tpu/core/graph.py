@@ -303,7 +303,9 @@ class GraphTemplate:
                     make_band_attention,
                 )
 
-                band_attn = make_band_attention(bl.adj_mask, negative_slope=0.2)
+                band_attn = make_band_attention(
+                    *bl.adj_mask.shape, negative_slope=0.2
+                )
             dense_ops = {
                 "band_attn": band_attn,
                 "band_adj_mask": jnp.asarray(bl.adj_mask),

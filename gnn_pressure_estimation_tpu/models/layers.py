@@ -247,7 +247,7 @@ class GATConv(nn.Module):
                 # layers (GATRes-small: H·C=32) are lane-starved in the
                 # kernel and faster on the XLA band path (BASELINE.md).
                 out = graph.band_attn(
-                    a_dst_b, a_src_win, xp_win
+                    a_dst_b, a_src_win, xp_win, graph.band_adj_mask
                 ).reshape(-1, H, C)
             elif self.attn_impl == "band_factored":
                 out = bops.band_attention_factored(

@@ -8,16 +8,21 @@ This kernel fuses the whole banded attention — additive logits, LeakyReLU,
 adjacency mask, windowed softmax, and the attn @ x_win aggregation — per
 (block-row, graph) grid cell entirely in VMEM, writing only the
 ``[BLK, H·C]`` output block.  The backward recomputes the attention
-flash-style from the (tiny) logit halves, so no [BLK, W] tensor ever
-touches HBM in either direction.
+flash-style, so no [BLK, W] tensor ever touches HBM in either direction.
 
 As in the dense kernel (``graph_attention.py``), GAT logits are additive
 (αd_i + αs_j): there is no Q·Kᵀ matmul, and the MXU work is attn @ x_win
 (forward) and attnᵀ @ dO / dO @ x_winᵀ (backward).
 
+The adjacency mask is a kernel *input* (not a captured constant) so the
+same kernel serves the distributed halo path, where each device's
+``[nbL, BLK, W]`` mask slice is a traced value inside ``shard_map``
+(parallel/halo.py).  On a single chip the mask is a jit constant and XLA
+folds the pad/cast at compile time.
+
 Semantics match ``ops.banded.band_attention`` exactly, including the
-padded-band-row behavior (fully-masked rows produce a uniform 1/W
-attention; those rows are never read back by real rows and are dropped by
+padded-band-row behavior (fully-masked rows produce a uniform attention;
+those rows are never read back by real rows and are dropped by
 ``unpack_nodes``).  cf. reference GATConv semantics `GraphModels.py:454-494`
 (PyG GATConv: self-loops, LeakyReLU(0.2), per-receiver softmax).
 
@@ -31,7 +36,6 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 NEG = -1e9
 
@@ -41,14 +45,17 @@ def _round_up(x: int, m: int) -> int:
 
 
 def make_band_attention(
-    adj_mask: np.ndarray,
+    nB: int,
+    BLK: int,
+    W: int,
     negative_slope: float,
     interpret: Optional[bool] = None,
 ):
-    """Factory capturing the template's band adjacency mask
-    ``[nB, BLK, W]`` (1.0 = edge incl. self-loop, in window coordinates).
-    Returns ``attend(a_dst, a_src_win, x_win) -> [B, n_pad, H, C]`` with a
-    fused recompute VJP.
+    """Kernel factory for a band layout of ``nB`` block-rows of ``BLK``
+    nodes with ``W``-wide windows.  Returns
+    ``attend(a_dst, a_src_win, x_win, adj_mask) -> [B, n_pad, H, C]`` with a
+    fused recompute VJP, or ``None`` if the layout's tiles would exceed the
+    VMEM budget.
 
     The window axis W is padded to the 128-lane grid; pad columns are dead
     via the mask.  BLK (the sublane axis of every [BLK, W] tile) is a
@@ -58,7 +65,6 @@ def make_band_attention(
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    nB, BLK, W = adj_mask.shape
     W_pad = _round_up(W, 128)
     # VMEM guard: the backward holds several [BLK, W_pad] f32 tiles plus the
     # [W_pad, H·C] window operands live at once; past ~1 MB per logits tile
@@ -67,9 +73,6 @@ def make_band_attention(
     # path (BLK 256 measured fastest under the kernel anyway, BASELINE.md).
     if BLK * W_pad * 4 > (1 << 20):
         return None
-    maskf = np.zeros((nB, BLK, W_pad), np.float32)
-    maskf[:, :, :W] = np.asarray(adj_mask, np.float32)
-    maskf = jnp.asarray(maskf)
     slope = float(negative_slope)
 
     def _attn(ad_col, as_row, mk):
@@ -78,7 +81,7 @@ def make_band_attention(
         z = z * mk + (1.0 - mk) * NEG
         m = jnp.max(z, axis=1, keepdims=True)
         p = jnp.exp(z - m)
-        return p / jnp.sum(p, axis=1, keepdims=True), z
+        return p / jnp.sum(p, axis=1, keepdims=True)
 
     def fwd_kernel(adst_ref, asrc_ref, x_ref, mask_ref, o_ref):
         mk = mask_ref[0]                          # [BLK, W_pad]
@@ -87,7 +90,7 @@ def make_band_attention(
         for h in range(H):
             ad_col = adst_ref[0, 0][:, h : h + 1]     # [BLK, 1]
             as_row = asrc_ref[0, 0][h : h + 1, :]     # [1, W_pad]
-            p, _ = _attn(ad_col, as_row, mk)
+            p = _attn(ad_col, as_row, mk)
             o_ref[0, 0, :, h * C : (h + 1) * C] = jnp.dot(
                 p, x_ref[0, 0][:, h * C : (h + 1) * C],
                 preferred_element_type=jnp.float32,
@@ -101,7 +104,7 @@ def make_band_attention(
         for h in range(H):
             ad_col = adst_ref[0, 0][:, h : h + 1]
             as_row = asrc_ref[0, 0][h : h + 1, :]
-            p, _ = _attn(ad_col, as_row, mk)
+            p = _attn(ad_col, as_row, mk)
             do_h = do_ref[0, 0][:, h * C : (h + 1) * C]   # [BLK, C]
             x_h = x_ref[0, 0][:, h * C : (h + 1) * C]     # [W_pad, C]
             # dX = attnᵀ @ dO
@@ -122,7 +125,7 @@ def make_band_attention(
             dadst_ref[0, 0, :, h : h + 1] = jnp.sum(dz, axis=1, keepdims=True)
             dasrc_ref[0, 0, h : h + 1, :] = jnp.sum(dz, axis=0, keepdims=True)
 
-    def _specs(B, H, HC):
+    def _specs(H, HC):
         return [
             pl.BlockSpec((1, 1, BLK, H), lambda i, b: (i, b, 0, 0)),
             pl.BlockSpec((1, 1, H, W_pad), lambda i, b: (i, b, 0, 0)),
@@ -130,33 +133,33 @@ def make_band_attention(
             pl.BlockSpec((1, BLK, W_pad), lambda i, b: (i, 0, 0)),
         ]
 
-    def _call_fwd(adst_b, asrcT, x_r):
+    def _call_fwd(adst_b, asrcT, x_r, maskf):
         B, H = adst_b.shape[1], adst_b.shape[-1]
         HC = x_r.shape[-1]
         return pl.pallas_call(
             fwd_kernel,
             grid=(nB, B),
-            in_specs=_specs(B, H, HC),
+            in_specs=_specs(H, HC),
             out_specs=pl.BlockSpec((1, 1, BLK, HC), lambda i, b: (i, b, 0, 0)),
             out_shape=jax.ShapeDtypeStruct((nB, B, BLK, HC), jnp.float32),
             interpret=interpret,
         )(adst_b, asrcT, x_r, maskf)
 
     @jax.custom_vjp
-    def attend_core(adst_b, asrcT, x_r):
-        return _call_fwd(adst_b, asrcT, x_r)
+    def attend_core(adst_b, asrcT, x_r, maskf):
+        return _call_fwd(adst_b, asrcT, x_r, maskf)
 
-    def fwd_fn(adst_b, asrcT, x_r):
-        return _call_fwd(adst_b, asrcT, x_r), (adst_b, asrcT, x_r)
+    def fwd_fn(adst_b, asrcT, x_r, maskf):
+        return _call_fwd(adst_b, asrcT, x_r, maskf), (adst_b, asrcT, x_r, maskf)
 
     def bwd_fn(res, g):
-        adst_b, asrcT, x_r = res
+        adst_b, asrcT, x_r, maskf = res
         B, H = adst_b.shape[1], adst_b.shape[-1]
         HC = x_r.shape[-1]
         d_adst, d_asrc, d_x = pl.pallas_call(
             bwd_kernel,
             grid=(nB, B),
-            in_specs=_specs(B, H, HC) + [
+            in_specs=_specs(H, HC) + [
                 pl.BlockSpec((1, 1, BLK, HC), lambda i, b: (i, b, 0, 0)),
             ],
             out_specs=[
@@ -171,17 +174,20 @@ def make_band_attention(
             ],
             interpret=interpret,
         )(adst_b, asrcT, x_r, maskf, g)
-        return d_adst, d_asrc, d_x
+        # the mask is a graph constant, never differentiated; a symbolic-zero
+        # cotangent keeps it free (DCE'd under grad-wrt-params)
+        return d_adst, d_asrc, d_x, jnp.zeros_like(maskf)
 
     attend_core.defvjp(fwd_fn, bwd_fn)
 
-    def attend(a_dst, a_src_win, x_win):
+    def attend(a_dst, a_src_win, x_win, adj_mask):
         """a_dst [B, n_pad, H] · a_src_win [nB, B, W, H] · x_win
-        [nB, B, W, H, C] → [B, n_pad, H, C].  Layout transforms (block-major
-        a_dst, head-major a_src, W pad) live outside the custom VJP so JAX
-        transposes them natively."""
+        [nB, B, W, H, C] · adj_mask [nB, BLK, W] (bool) → [B, n_pad, H, C].
+        Layout transforms (block-major a_dst, head-major a_src, W pad, mask
+        cast) live outside the custom VJP so JAX transposes them natively;
+        on a single chip they constant-fold with the mask."""
         _nB, B, _W, H, C = x_win.shape
-        assert (_nB, _W) == (nB, W), (x_win.shape, adj_mask.shape)
+        assert (_nB, _W) == (nB, W), (x_win.shape, (nB, BLK, W))
         adst_b = a_dst.reshape(B, nB, BLK, H).transpose(1, 0, 2, 3)
         asrcT = jnp.pad(
             a_src_win.transpose(0, 1, 3, 2), ((0, 0),) * 3 + ((0, W_pad - W),)
@@ -190,7 +196,10 @@ def make_band_attention(
             x_win.reshape(nB, B, W, H * C),
             ((0, 0), (0, 0), (0, W_pad - W), (0, 0)),
         )
-        out = attend_core(adst_b, asrcT, x_r)          # [nB, B, BLK, H·C]
+        maskf = jnp.pad(
+            adj_mask.astype(jnp.float32), ((0, 0), (0, 0), (0, W_pad - W))
+        )
+        out = attend_core(adst_b, asrcT, x_r, maskf)   # [nB, B, BLK, H·C]
         return out.transpose(1, 0, 2, 3).reshape(B, nB * BLK, H, C)
 
     return attend

@@ -31,6 +31,7 @@ zero-padded band program restricted to the device's rows.
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 
 import jax
@@ -80,6 +81,11 @@ class HaloPartition:
     n_orig: int
     perm: np.ndarray    # original → band order
     band_arrays: dict   # {name: [gp, nbL, BLK, W]} device-shardable stacks
+    # fused band-attention kernel for the device-local window program
+    # (ops/pallas/band_attention.py); the per-device adjacency-mask slice is
+    # passed to it as a traced input inside shard_map.  None when disabled
+    # or when the layout's tiles exceed the kernel's VMEM guard.
+    band_attn: object = None
 
     def local_graph(self, arrs: dict, n_graph: int) -> BatchedGraph:
         """Device-local BatchedGraph from [1, nbL, BLK, W] sliced stacks."""
@@ -104,6 +110,7 @@ class HaloPartition:
             band_win_start=win_start,
             band_W=self.W,
             band_n_pad=self.chunk,
+            band_attn=self.band_attn,
         )
 
 
@@ -134,8 +141,15 @@ def build_halo_partition(template: GraphTemplate, gp: int) -> HaloPartition:
         "cheb_band": pad_stack(bl.cheb_band),
         "adj_band": pad_stack(bl.adj_band),
     }
+    band_attn = None
+    if os.environ.get("GNN_TPU_BAND_ATTN", "1") == "1":
+        from gnn_pressure_estimation_tpu.ops.pallas.band_attention import (
+            make_band_attention,
+        )
+
+        band_attn = make_band_attention(nbL, BLK, W, negative_slope=0.2)
     return HaloPartition(
         gp=gp, nbL=nbL, BLK=BLK, W=W, U=U, R=R, chunk=chunk,
         n_pad_dist=gp * chunk, n_orig=template.n_node,
-        perm=bl.perm, band_arrays=band_arrays,
+        perm=bl.perm, band_arrays=band_arrays, band_attn=band_attn,
     )

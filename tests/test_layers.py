@@ -290,9 +290,9 @@ def test_band_attention_kernel_parity(rng):
     x = jnp.asarray(rng.standard_normal((nB, B, W, H, C)).astype(np.float32))
     adjj = jnp.asarray(adj)
 
-    att = make_band_attention(adj, 0.2, interpret=True)
+    att = make_band_attention(nB, BLK, W, 0.2, interpret=True)
     ref = bops.band_attention(a_dst, a_src, x, adjj, 0.2) * vm
-    out = att(a_dst, a_src, x) * vm
+    out = att(a_dst, a_src, x, adjj) * vm
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-6)
 
@@ -302,7 +302,9 @@ def test_band_attention_kernel_parity(rng):
     g_ref = jax.grad(loss(
         lambda ad, asr, xx: bops.band_attention(ad, asr, xx, adjj, 0.2)
     ))((a_dst, a_src, x))
-    g_ker = jax.grad(loss(att))((a_dst, a_src, x))
+    g_ker = jax.grad(loss(lambda ad, asr, xx: att(ad, asr, xx, adjj)))(
+        (a_dst, a_src, x)
+    )
     for a, b in zip(g_ker, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
@@ -322,7 +324,7 @@ def test_band_kernel_routing_through_model(rng):
     g_plain = tpl.batch(B, mode="banded")
     g_plain = dc.replace(g_plain, band_attn=None)
     att = make_band_attention(
-        np.asarray(g_plain.band_adj_mask), 0.2, interpret=True
+        *g_plain.band_adj_mask.shape, 0.2, interpret=True
     )
     g_kernel = dc.replace(g_plain, band_attn=att)
     x = jnp.asarray(rng.standard_normal((B * 40, 1)).astype(np.float32))

@@ -209,6 +209,46 @@ def test_meshtrainer_halo_strategy_matches_single(rng, dp, gp):
         GraphTemplate.DENSE_THRESHOLD = old
 
 
+def test_meshtrainer_halo_band_kernel_matches_xla(rng, monkeypatch):
+    """A wide model (H·C ≥ 128) on the halo strategy routes through the
+    fused Pallas band kernel per device (mask as a traced shard_map input)
+    and matches the XLA band path run single-device with the kernel off."""
+    from gnn_pressure_estimation_tpu.core.graph import GraphTemplate
+    from gnn_pressure_estimation_tpu.parallel import MeshTrainer
+
+    if jax.device_count() < 4:
+        pytest.skip("needs 4 virtual devices")
+    old = GraphTemplate.DENSE_THRESHOLD
+    GraphTemplate.DENSE_THRESHOLD = 32
+    try:
+        model = GATRes(num_blocks=1, channels=128)  # H·C = 128: eligible
+        cfg = TrainConfig(batch_size=2, mask_rate=0.5, criterion="mse",
+                          donate_state=False, seed=3)
+        x = jnp.asarray(rng.standard_normal((2 * 64, 1)).astype(np.float32))
+        key = jax.random.PRNGKey(9)
+
+        monkeypatch.setenv("GNN_TPU_BAND_ATTN", "0")
+        tpl_xla = _banded_chain_template(np.random.default_rng(42))
+        st = Trainer(model, cfg, NormStats(), tpl_xla)
+        assert tpl_xla.batch(2, mode="banded").band_attn is None
+        ps, _, ls, _ = st._get_train_step(tpl_xla, 2)(
+            st.params, st.opt_state, x, x, key)
+
+        monkeypatch.setenv("GNN_TPU_BAND_ATTN", "1")
+        tpl_k = _banded_chain_template(np.random.default_rng(42))
+        mesh = make_mesh(dp=2, gp=2)
+        mt = MeshTrainer(model, cfg, NormStats(), tpl_k, mesh)
+        assert mt.strategy == "halo"
+        assert mt._halo_part(tpl_k)[0].band_attn is not None
+        pm, _, lm, _ = mt._get_train_step(tpl_k, 2)(
+            mt.params, mt.opt_state, x, x, key)
+        np.testing.assert_allclose(float(lm), float(ls), rtol=1e-5)
+        for a, b in zip(jax.tree.leaves(pm), jax.tree.leaves(ps)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+    finally:
+        GraphTemplate.DENSE_THRESHOLD = old
+
+
 def test_meshtrainer_fit_end_to_end(rng, tmp_path):
     """The FULL trainer surface (scan epochs, checkpoints, eval epochs,
     early stopping) runs distributed and the loss decreases."""
