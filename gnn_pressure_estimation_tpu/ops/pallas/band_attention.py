@@ -136,15 +136,12 @@ def make_band_attention(
     def _call_fwd(adst_b, asrcT, x_r, maskf):
         B, H = adst_b.shape[1], adst_b.shape[-1]
         HC = x_r.shape[-1]
-        # output lands batch-major [B, nB, BLK, HC] straight from the index
-        # map — no [nB,B]→[B,nB] transpose pass over the (large) output in
-        # either direction of the autodiff
         return pl.pallas_call(
             fwd_kernel,
             grid=(nB, B),
             in_specs=_specs(H, HC),
-            out_specs=pl.BlockSpec((1, 1, BLK, HC), lambda i, b: (b, i, 0, 0)),
-            out_shape=jax.ShapeDtypeStruct((B, nB, BLK, HC), jnp.float32),
+            out_specs=pl.BlockSpec((1, 1, BLK, HC), lambda i, b: (i, b, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((nB, B, BLK, HC), jnp.float32),
             interpret=interpret,
         )(adst_b, asrcT, x_r, maskf)
 
@@ -163,7 +160,7 @@ def make_band_attention(
             bwd_kernel,
             grid=(nB, B),
             in_specs=_specs(H, HC) + [
-                pl.BlockSpec((1, 1, BLK, HC), lambda i, b: (b, i, 0, 0)),
+                pl.BlockSpec((1, 1, BLK, HC), lambda i, b: (i, b, 0, 0)),
             ],
             out_specs=[
                 pl.BlockSpec((1, 1, BLK, H), lambda i, b: (i, b, 0, 0)),
@@ -202,7 +199,7 @@ def make_band_attention(
         maskf = jnp.pad(
             adj_mask.astype(jnp.float32), ((0, 0), (0, 0), (0, W_pad - W))
         )
-        out = attend_core(adst_b, asrcT, x_r, maskf)   # [B, nB, BLK, H·C]
-        return out.reshape(B, nB * BLK, H, C)
+        out = attend_core(adst_b, asrcT, x_r, maskf)   # [nB, B, BLK, H·C]
+        return out.transpose(1, 0, 2, 3).reshape(B, nB * BLK, H, C)
 
     return attend
