@@ -40,6 +40,10 @@ def main():
     ap.add_argument("--attn-impl", default="softmax",
                     choices=["softmax", "onepass", "factored"],
                     help="dense-path attention implementation (GATRes)")
+    ap.add_argument("--agg-mode", default=None, choices=[None, "dense", "banded", "padded"],
+                    help="aggregation mode (default: template-size heuristic)")
+    ap.add_argument("--band-block", default=None, type=int,
+                    help="banded block size (with --agg-mode banded)")
     ap.add_argument("--iters", default=20, type=int)
     ap.add_argument("--windows", default=5, type=int)
     ap.add_argument("--peak-flops", default=197e12, type=float,
@@ -75,7 +79,7 @@ def main():
     if overrides:
         model = model.clone(**overrides)
     cfg = TrainConfig(batch_size=args.batch, mask_rate=0.95, criterion="mse",
-                      seed=0)
+                      seed=0, agg_mode=args.agg_mode, band_block=args.band_block)
     trainer = Trainer(model, cfg, NormStats(norm_type="znorm", mean=40.0, std=15.0), tpl)
 
     bs = args.batch
