@@ -293,7 +293,7 @@ class GraphTemplate:
             )
         if mode == "banded":
             bl = self.band_layout(band_block)
-            band_attn = None
+            band_attn = band_attn_dma = None
             if os.environ.get("GNN_TPU_BAND_ATTN", "1") == "1":
                 # default-on; the layer only routes here when its head·channel
                 # width fills the 128-lane grid (measured: GATRes-large
@@ -301,13 +301,21 @@ class GraphTemplate:
                 # 50.0 → 85.1 ms, and stays on the XLA band path)
                 from gnn_pressure_estimation_tpu.ops.pallas.band_attention import (
                     make_band_attention,
+                    make_band_attention_dma,
                 )
+                from gnn_pressure_estimation_tpu.ops.banded import halo_widths
 
                 band_attn = make_band_attention(
                     *bl.adj_mask.shape, negative_slope=0.2
                 )
+                if os.environ.get("GNN_TPU_BAND_DMA", "1") == "1":
+                    U, _R = halo_widths(bl.win_start, bl.W, bl.n_pad)
+                    band_attn_dma = make_band_attention_dma(
+                        *bl.adj_mask.shape, U, negative_slope=0.2
+                    )
             dense_ops = {
                 "band_attn": band_attn,
+                "band_attn_dma": band_attn_dma,
                 "band_adj_mask": jnp.asarray(bl.adj_mask),
                 "band_mean": jnp.asarray(bl.mean_band),
                 "band_gcn": jnp.asarray(bl.gcn_band),
@@ -450,7 +458,7 @@ class GraphTemplate:
     ],
     meta_fields=["n_node", "n_edge", "n_graph", "nodes_per_graph", "axis_name",
                  "gather_dp", "gather_dp_sl", "fused_attn", "band_attn",
-                 "band_win_start", "band_W", "band_n_pad"],
+                 "band_attn_dma", "band_win_start", "band_W", "band_n_pad"],
 )
 @dataclasses.dataclass(frozen=True)
 class BatchedGraph:
@@ -520,6 +528,9 @@ class BatchedGraph:
     # fused banded-attention kernel (ops/pallas/band_attention.py), built
     # for banded-mode graphs; static (meta) like fused_attn
     band_attn: Optional[Any] = None
+    # v2 variant: x windows DMA'd from the extended node array (no
+    # materialized window tensor); preferred by the layer when lane-aligned
+    band_attn_dma: Optional[Any] = None
 
     @property
     def dense(self) -> bool:

@@ -25,6 +25,12 @@ from gnn_pressure_estimation_tpu.ops import banded as bops
 
 glorot = nn.initializers.glorot_uniform()
 zeros = nn.initializers.zeros
+# torch.nn.Linear / PyG dense.Linear default: kaiming_uniform(a=√5) =
+# U(±1/√fan_in).  The reference's custom MLP (GraphModels.py:264-275, used
+# by GIN and m_GCN's GENConvolution) inherits this — glorot here is ~2.4×
+# hotter per layer, which compounds to a ~1e12 initial loss over 15
+# sum-aggregation GIN blocks (no norm layers anywhere in the zoo).
+torch_linear = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
 
 NEG_INF = -1e9  # mask value for dense attention (finite: avoids inf-nan)
 
@@ -240,9 +246,31 @@ class GATConv(nn.Module):
             a_src_win = _windows(a_src_b, graph)
             xp_win = _windows(xp_b, graph)
             xp_win = xp_win.reshape(xp_win.shape[:3] + (H, C))
-            if (graph.band_attn is not None and self.negative_slope == 0.2
-                    and H * C >= 128):
-                # fused Pallas band kernel: logits/softmax/attn@x stay in
+            kernel_ok = self.negative_slope == 0.2 and H * C >= 128
+            if (graph.band_attn_dma is not None and kernel_ok
+                    and (H * C) % 128 == 0):
+                # v2 fused Pallas band kernel: the x windows are DMA'd from
+                # the extended node array inside the kernel (no materialized
+                # [nB,B,W,H·C] window tensor); halo mode feeds the ppermute-
+                # extended array the same way.
+                nB = len(graph.band_win_start)
+                BLK = n_pad // nB
+                U, R = bops.halo_widths(graph.band_win_start, W, n_pad)
+                if graph.halo:
+                    from gnn_pressure_estimation_tpu.parallel.halo import (
+                        halo_exchange,
+                    )
+
+                    x_ext = halo_exchange(xp_b, U, R, graph.axis_name)
+                else:
+                    x_ext = jnp.pad(xp_b, ((0, 0), (U, R), (0, 0)))
+                out = graph.band_attn_dma(
+                    a_dst_b, a_src_win,
+                    x_ext.reshape(B, n_pad + W - BLK, H, C),
+                    graph.band_adj_mask,
+                ).reshape(-1, H, C)
+            elif graph.band_attn is not None and kernel_ok:
+                # v1 fused Pallas band kernel: logits/softmax/attn@x stay in
                 # VMEM.  Only when H·C fills the 128-lane grid — narrower
                 # layers (GATRes-small: H·C=32) are lane-starved in the
                 # kernel and faster on the XLA band path (BASELINE.md).
@@ -455,7 +483,7 @@ class MLP(nn.Module):
     def __call__(self, x: jax.Array, training: bool = False) -> jax.Array:
         n = len(self.dims)
         for i, d in enumerate(self.dims):
-            x = nn.Dense(d, use_bias=self.use_bias, kernel_init=glorot)(x)
+            x = nn.Dense(d, use_bias=self.use_bias, kernel_init=torch_linear)(x)
             if i < n - 1:
                 x = nn.selu(x)
                 if self.dropout > 0:
@@ -489,7 +517,8 @@ class GINConv(nn.Module):
         h = (1.0 + self.eps) * x + agg
         if self.mlp_dims is not None:
             return MLP(self.mlp_dims)(h, training)
-        return nn.Dense(self.linear_out, use_bias=False, kernel_init=glorot)(h)
+        return nn.Dense(self.linear_out, use_bias=False,
+                        kernel_init=torch_linear)(h)
 
 
 class GENConv(nn.Module):
@@ -533,7 +562,8 @@ class GENConv(nn.Module):
             msg = jnp.where(graph.edge_mask[:, None], msg, 0.0)
         latent = ops.segment_sum(msg, graph.receivers, graph.n_node)
 
-        res = nn.Dense(d, use_bias=self.use_bias, kernel_init=glorot, name="res")
+        res = nn.Dense(d, use_bias=self.use_bias, kernel_init=torch_linear,
+                       name="res")
         latent = res(latent) if mlp else jnp.tanh(res(latent))
         if residual:
             latent = latent + x

@@ -203,3 +203,214 @@ def make_band_attention(
         return out.transpose(1, 0, 2, 3).reshape(B, nB * BLK, H, C)
 
     return attend
+
+
+def make_band_attention_dma(
+    nB: int,
+    BLK: int,
+    W: int,
+    U: int,
+    negative_slope: float,
+    interpret: Optional[bool] = None,
+):
+    """v2 kernel: the x windows are DMA'd straight from the *extended* node
+    array instead of a materialized ``[nB, B, W, H·C]`` window tensor.
+
+    ``band_windows`` duplicates every node row W/BLK× into HBM (84 MB/layer
+    at bigtown-large shapes) purely so BlockSpecs can see disjoint blocks;
+    block ``i``'s window is just rows ``[i·BLK, i·BLK + W)`` of the extended
+    array, so the kernel issues that copy itself, double-buffered across
+    grid cells (guide pattern: two VMEM slots + DMA semaphores).  The
+    backward recomputes attention the same way; only the windowed dx
+    cotangent is still emitted in window layout (folded outside with the
+    same slice-adds ``band_windows``' own AD produces).
+
+    Returns ``attend(a_dst, a_src_win, x_ext, adj_mask)`` where ``x_ext`` is
+    ``[B, n_ext, H, C]`` with ``n_ext = nB·BLK + (W − BLK)`` (``U`` zero —
+    or halo — rows before the chunk, ``R = W − U − BLK`` after), or ``None``
+    when the layout exceeds the VMEM guard.  Requires ``H·C`` to be a
+    multiple of 128 (lane-aligned DMA rows); callers route accordingly.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    W_pad = _round_up(W, 128)
+    if BLK * W_pad * 4 > (1 << 20):
+        return None
+    slope = float(negative_slope)
+    n_ext = nB * BLK + (W - BLK)
+
+    def _attn(ad_col, as_row, mk):
+        z = ad_col + as_row
+        z = jnp.where(z >= 0, z, slope * z)
+        z = z * mk + (1.0 - mk) * NEG
+        m = jnp.max(z, axis=1, keepdims=True)
+        p = jnp.exp(z - m)
+        return p / jnp.sum(p, axis=1, keepdims=True)
+
+    def _window_dma(x_hbm, xbuf, sem, slot, i, b):
+        return pltpu.make_async_copy(
+            x_hbm.at[b, pl.ds(i * BLK, W), :],
+            xbuf.at[slot, pl.ds(0, W), :],
+            sem.at[slot],
+        )
+
+    def _pipeline(x_hbm, xbuf, sem, B):
+        """Start-next / wait-current double buffering for the cell's window.
+        Returns the current cell's [W_pad, HC] window view."""
+        i, b = pl.program_id(0), pl.program_id(1)
+        t = i * B + b
+        slot = jax.lax.rem(t, 2)
+        nxt = jax.lax.rem(t + 1, 2)
+
+        @pl.when(t == 0)
+        def _():
+            _window_dma(x_hbm, xbuf, sem, slot, i, b).start()
+            if W_pad > W:
+                xbuf[0, pl.ds(W, W_pad - W), :] = jnp.zeros(
+                    (W_pad - W, xbuf.shape[-1]), xbuf.dtype
+                )
+                xbuf[1, pl.ds(W, W_pad - W), :] = jnp.zeros(
+                    (W_pad - W, xbuf.shape[-1]), xbuf.dtype
+                )
+
+        @pl.when(t + 1 < nB * B)
+        def _():
+            t1 = t + 1
+            _window_dma(
+                x_hbm, xbuf, sem, nxt, t1 // B, jax.lax.rem(t1, B)
+            ).start()
+
+        _window_dma(x_hbm, xbuf, sem, slot, i, b).wait()
+        return xbuf[slot]
+
+    def fwd_kernel(adst_ref, asrc_ref, mask_ref, x_hbm, o_ref, xbuf, sem):
+        B = pl.num_programs(1)
+        xw = _pipeline(x_hbm, xbuf, sem, B)           # [W_pad, HC]
+        mk = mask_ref[0]
+        H = adst_ref.shape[-1]
+        C = xw.shape[-1] // H
+        for h in range(H):
+            ad_col = adst_ref[0, 0][:, h : h + 1]
+            as_row = asrc_ref[0, 0][h : h + 1, :]
+            p = _attn(ad_col, as_row, mk)
+            o_ref[0, 0, :, h * C : (h + 1) * C] = jnp.dot(
+                p, xw[:, h * C : (h + 1) * C],
+                preferred_element_type=jnp.float32,
+            )
+
+    def bwd_kernel(adst_ref, asrc_ref, mask_ref, x_hbm, do_ref,
+                   dadst_ref, dasrc_ref, dxw_ref, xbuf, sem):
+        B = pl.num_programs(1)
+        xw = _pipeline(x_hbm, xbuf, sem, B)
+        mk = mask_ref[0]
+        H = adst_ref.shape[-1]
+        C = xw.shape[-1] // H
+        for h in range(H):
+            ad_col = adst_ref[0, 0][:, h : h + 1]
+            as_row = asrc_ref[0, 0][h : h + 1, :]
+            p = _attn(ad_col, as_row, mk)
+            do_h = do_ref[0, 0][:, h * C : (h + 1) * C]
+            x_h = xw[:, h * C : (h + 1) * C]
+            dxw_ref[0, 0, :, h * C : (h + 1) * C] = jax.lax.dot_general(
+                p, do_h, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dp = jax.lax.dot_general(
+                do_h, x_h, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            delta = jnp.sum(dp * p, axis=1, keepdims=True)
+            dz = p * (dp - delta)
+            zpre = ad_col + as_row
+            dz = jnp.where(zpre >= 0, dz, slope * dz)
+            dadst_ref[0, 0, :, h : h + 1] = jnp.sum(dz, axis=1, keepdims=True)
+            dasrc_ref[0, 0, h : h + 1, :] = jnp.sum(dz, axis=0, keepdims=True)
+
+    def _specs(H):
+        return [
+            pl.BlockSpec((1, 1, BLK, H), lambda i, b: (i, b, 0, 0)),
+            pl.BlockSpec((1, 1, H, W_pad), lambda i, b: (i, b, 0, 0)),
+            pl.BlockSpec((1, BLK, W_pad), lambda i, b: (i, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),      # x_ext stays in HBM
+        ]
+
+    def _scratch(HC):
+        return [
+            pltpu.VMEM((2, W_pad, HC), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+
+    def _call_fwd(adst_b, asrcT, x_flat, maskf):
+        B, H = adst_b.shape[1], adst_b.shape[-1]
+        HC = x_flat.shape[-1]
+        return pl.pallas_call(
+            fwd_kernel,
+            grid=(nB, B),
+            in_specs=_specs(H),
+            out_specs=pl.BlockSpec((1, 1, BLK, HC), lambda i, b: (i, b, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((nB, B, BLK, HC), jnp.float32),
+            scratch_shapes=_scratch(HC),
+            interpret=interpret,
+        )(adst_b, asrcT, maskf, x_flat)
+
+    @jax.custom_vjp
+    def attend_core(adst_b, asrcT, x_flat, maskf):
+        return _call_fwd(adst_b, asrcT, x_flat, maskf)
+
+    def fwd_fn(adst_b, asrcT, x_flat, maskf):
+        return _call_fwd(adst_b, asrcT, x_flat, maskf), (
+            adst_b, asrcT, x_flat, maskf,
+        )
+
+    def bwd_fn(res, g):
+        adst_b, asrcT, x_flat, maskf = res
+        B, H = adst_b.shape[1], adst_b.shape[-1]
+        HC = x_flat.shape[-1]
+        d_adst, d_asrc, dxw = pl.pallas_call(
+            bwd_kernel,
+            grid=(nB, B),
+            in_specs=_specs(H) + [
+                pl.BlockSpec((1, 1, BLK, HC), lambda i, b: (i, b, 0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, BLK, H), lambda i, b: (i, b, 0, 0)),
+                pl.BlockSpec((1, 1, H, W_pad), lambda i, b: (i, b, 0, 0)),
+                pl.BlockSpec((1, 1, W_pad, HC), lambda i, b: (i, b, 0, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((nB, B, BLK, H), jnp.float32),
+                jax.ShapeDtypeStruct((nB, B, H, W_pad), jnp.float32),
+                jax.ShapeDtypeStruct((nB, B, W_pad, HC), jnp.float32),
+            ],
+            scratch_shapes=_scratch(HC),
+            interpret=interpret,
+        )(adst_b, asrcT, maskf, x_flat, g)
+        # fold the windowed dx back onto the extended array — the same
+        # overlapping slice-adds band_windows' own AD produces
+        dx = jnp.zeros_like(x_flat)
+        for i in range(nB):
+            dx = dx.at[:, i * BLK : i * BLK + W, :].add(dxw[i, :, :W, :])
+        return d_adst, d_asrc, dx, jnp.zeros_like(maskf)
+
+    attend_core.defvjp(fwd_fn, bwd_fn)
+
+    def attend(a_dst, a_src_win, x_ext, adj_mask):
+        """a_dst [B, n_pad, H] · a_src_win [nB, B, W, H] · x_ext
+        [B, n_ext, H, C] · adj_mask [nB, BLK, W] (bool) → [B, n_pad, H, C]."""
+        B, _n_ext, H, C = x_ext.shape
+        assert _n_ext == n_ext, (x_ext.shape, n_ext)
+        assert (H * C) % 128 == 0, "DMA rows must be lane-aligned (H·C % 128)"
+        adst_b = a_dst.reshape(B, nB, BLK, H).transpose(1, 0, 2, 3)
+        asrcT = jnp.pad(
+            a_src_win.transpose(0, 1, 3, 2), ((0, 0),) * 3 + ((0, W_pad - W),)
+        )
+        maskf = jnp.pad(
+            adj_mask.astype(jnp.float32), ((0, 0), (0, 0), (0, W_pad - W))
+        )
+        out = attend_core(adst_b, asrcT, x_ext.reshape(B, n_ext, H * C), maskf)
+        return out.transpose(1, 0, 2, 3).reshape(B, nB * BLK, H, C)
+
+    return attend

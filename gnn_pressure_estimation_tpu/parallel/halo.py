@@ -81,11 +81,13 @@ class HaloPartition:
     n_orig: int
     perm: np.ndarray    # original → band order
     band_arrays: dict   # {name: [gp, nbL, BLK, W]} device-shardable stacks
-    # fused band-attention kernel for the device-local window program
+    # fused band-attention kernels for the device-local window program
     # (ops/pallas/band_attention.py); the per-device adjacency-mask slice is
-    # passed to it as a traced input inside shard_map.  None when disabled
-    # or when the layout's tiles exceed the kernel's VMEM guard.
+    # passed to them as a traced input inside shard_map.  None when disabled
+    # or when the layout's tiles exceed the kernel's VMEM guard.  The _dma
+    # variant reads x windows straight from the halo-extended array.
     band_attn: object = None
+    band_attn_dma: object = None
 
     def local_graph(self, arrs: dict, n_graph: int) -> BatchedGraph:
         """Device-local BatchedGraph from [1, nbL, BLK, W] sliced stacks."""
@@ -111,6 +113,7 @@ class HaloPartition:
             band_W=self.W,
             band_n_pad=self.chunk,
             band_attn=self.band_attn,
+            band_attn_dma=self.band_attn_dma,
         )
 
 
@@ -141,15 +144,21 @@ def build_halo_partition(template: GraphTemplate, gp: int) -> HaloPartition:
         "cheb_band": pad_stack(bl.cheb_band),
         "adj_band": pad_stack(bl.adj_band),
     }
-    band_attn = None
+    band_attn = band_attn_dma = None
     if os.environ.get("GNN_TPU_BAND_ATTN", "1") == "1":
         from gnn_pressure_estimation_tpu.ops.pallas.band_attention import (
             make_band_attention,
+            make_band_attention_dma,
         )
 
         band_attn = make_band_attention(nbL, BLK, W, negative_slope=0.2)
+        if os.environ.get("GNN_TPU_BAND_DMA", "1") == "1":
+            band_attn_dma = make_band_attention_dma(
+                nbL, BLK, W, U, negative_slope=0.2
+            )
     return HaloPartition(
         gp=gp, nbL=nbL, BLK=BLK, W=W, U=U, R=R, chunk=chunk,
         n_pad_dist=gp * chunk, n_orig=template.n_node,
         perm=bl.perm, band_arrays=band_arrays, band_attn=band_attn,
+        band_attn_dma=band_attn_dma,
     )

@@ -319,31 +319,43 @@ def test_band_kernel_routing_through_model(rng):
         make_band_attention,
     )
 
+    from gnn_pressure_estimation_tpu.ops.pallas.band_attention import (
+        make_band_attention_dma,
+    )
+    from gnn_pressure_estimation_tpu.ops.banded import halo_widths
+
     tpl = random_graph(rng, n=40, extra_edges=25)
     B = 2
     g_plain = tpl.batch(B, mode="banded")
-    g_plain = dc.replace(g_plain, band_attn=None)
-    att = make_band_attention(
-        *g_plain.band_adj_mask.shape, 0.2, interpret=True
-    )
+    g_plain = dc.replace(g_plain, band_attn=None, band_attn_dma=None)
+    nB, BLK, W = g_plain.band_adj_mask.shape
+    att = make_band_attention(nB, BLK, W, 0.2, interpret=True)
     g_kernel = dc.replace(g_plain, band_attn=att)
+    U, _ = halo_widths(g_plain.band_win_start, W, g_plain.band_n_pad)
+    g_dma = dc.replace(
+        g_plain,
+        band_attn_dma=make_band_attention_dma(nB, BLK, W, U, 0.2,
+                                              interpret=True),
+    )
     x = jnp.asarray(rng.standard_normal((B * 40, 1)).astype(np.float32))
     xb = g_plain.pack_nodes(x, 40)
     model = GATRes(num_blocks=1, channels=128)  # H·C = 128: kernel-eligible
     params = model.init(jax.random.PRNGKey(0), xb, g_plain)
     o1 = g_plain.unpack_nodes(model.apply(params, xb, g_plain), 40)
-    o2 = g_kernel.unpack_nodes(model.apply(params, xb, g_kernel), 40)
-    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
-                               rtol=1e-4, atol=1e-5)
+    for g_alt in (g_kernel, g_dma):
+        o2 = g_alt.unpack_nodes(model.apply(params, xb, g_alt), 40)
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                                   rtol=1e-4, atol=1e-5)
 
     def loss(p, g):
         return jnp.sum(g.unpack_nodes(model.apply(p, xb, g), 40) ** 2)
 
     g1 = jax.grad(loss)(params, g_plain)
-    g2 = jax.grad(loss)(params, g_kernel)
-    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-3, atol=1e-4)
+    for g_alt in (g_kernel, g_dma):
+        g2 = jax.grad(loss)(params, g_alt)
+        for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-3, atol=1e-4)
 
 
 def test_fused_attention_kernel_parity(rng):
