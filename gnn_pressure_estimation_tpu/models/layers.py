@@ -268,6 +268,7 @@ class GATConv(nn.Module):
                     a_dst_b, a_src_win,
                     x_ext.reshape(B, n_pad + W - BLK, H, C),
                     graph.band_adj_mask,
+                    mxu_bf16=self.attn_dtype == jnp.bfloat16,
                 ).reshape(-1, H, C)
             elif graph.band_attn is not None and kernel_ok:
                 # v1 fused Pallas band kernel: logits/softmax/attn@x stay in

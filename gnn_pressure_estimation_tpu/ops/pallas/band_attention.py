@@ -286,48 +286,61 @@ def make_band_attention_dma(
         _window_dma(x_hbm, xbuf, sem, slot, i, b).wait()
         return xbuf[slot]
 
-    def fwd_kernel(adst_ref, asrc_ref, mask_ref, x_hbm, o_ref, xbuf, sem):
-        B = pl.num_programs(1)
-        xw = _pipeline(x_hbm, xbuf, sem, B)           # [W_pad, HC]
-        mk = mask_ref[0]
-        H = adst_ref.shape[-1]
-        C = xw.shape[-1] // H
-        for h in range(H):
-            ad_col = adst_ref[0, 0][:, h : h + 1]
-            as_row = asrc_ref[0, 0][h : h + 1, :]
-            p = _attn(ad_col, as_row, mk)
-            o_ref[0, 0, :, h * C : (h + 1) * C] = jnp.dot(
-                p, xw[:, h * C : (h + 1) * C],
-                preferred_element_type=jnp.float32,
-            )
+    def _make_kernels(mx):
+        # mx: matmul operand dtype (None = f32 exact; jnp.bfloat16 runs the
+        # MXU at full rate with f32 accumulation — the kernel is compute-
+        # bound on f32 matmuls at large H·C, see BASELINE.md)
+        def cast(a):
+            return a if mx is None else a.astype(mx)
 
-    def bwd_kernel(adst_ref, asrc_ref, mask_ref, x_hbm, do_ref,
-                   dadst_ref, dasrc_ref, dxw_ref, xbuf, sem):
-        B = pl.num_programs(1)
-        xw = _pipeline(x_hbm, xbuf, sem, B)
-        mk = mask_ref[0]
-        H = adst_ref.shape[-1]
-        C = xw.shape[-1] // H
-        for h in range(H):
-            ad_col = adst_ref[0, 0][:, h : h + 1]
-            as_row = asrc_ref[0, 0][h : h + 1, :]
-            p = _attn(ad_col, as_row, mk)
-            do_h = do_ref[0, 0][:, h * C : (h + 1) * C]
-            x_h = xw[:, h * C : (h + 1) * C]
-            dxw_ref[0, 0, :, h * C : (h + 1) * C] = jax.lax.dot_general(
-                p, do_h, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            dp = jax.lax.dot_general(
-                do_h, x_h, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            delta = jnp.sum(dp * p, axis=1, keepdims=True)
-            dz = p * (dp - delta)
-            zpre = ad_col + as_row
-            dz = jnp.where(zpre >= 0, dz, slope * dz)
-            dadst_ref[0, 0, :, h : h + 1] = jnp.sum(dz, axis=1, keepdims=True)
-            dasrc_ref[0, 0, h : h + 1, :] = jnp.sum(dz, axis=0, keepdims=True)
+        def fwd_kernel(adst_ref, asrc_ref, mask_ref, x_hbm, o_ref, xbuf, sem):
+            B = pl.num_programs(1)
+            xw = _pipeline(x_hbm, xbuf, sem, B)           # [W_pad, HC]
+            mk = mask_ref[0]
+            H = adst_ref.shape[-1]
+            C = xw.shape[-1] // H
+            for h in range(H):
+                ad_col = adst_ref[0, 0][:, h : h + 1]
+                as_row = asrc_ref[0, 0][h : h + 1, :]
+                p = _attn(ad_col, as_row, mk)
+                o_ref[0, 0, :, h * C : (h + 1) * C] = jnp.dot(
+                    cast(p), cast(xw[:, h * C : (h + 1) * C]),
+                    preferred_element_type=jnp.float32,
+                )
+
+        def bwd_kernel(adst_ref, asrc_ref, mask_ref, x_hbm, do_ref,
+                       dadst_ref, dasrc_ref, dxw_ref, xbuf, sem):
+            B = pl.num_programs(1)
+            xw = _pipeline(x_hbm, xbuf, sem, B)
+            mk = mask_ref[0]
+            H = adst_ref.shape[-1]
+            C = xw.shape[-1] // H
+            for h in range(H):
+                ad_col = adst_ref[0, 0][:, h : h + 1]
+                as_row = asrc_ref[0, 0][h : h + 1, :]
+                p = _attn(ad_col, as_row, mk)
+                do_h = do_ref[0, 0][:, h * C : (h + 1) * C]
+                x_h = xw[:, h * C : (h + 1) * C]
+                dxw_ref[0, 0, :, h * C : (h + 1) * C] = jax.lax.dot_general(
+                    cast(p), cast(do_h), (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                dp = jax.lax.dot_general(
+                    cast(do_h), cast(x_h), (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                delta = jnp.sum(dp * p, axis=1, keepdims=True)
+                dz = p * (dp - delta)
+                zpre = ad_col + as_row
+                dz = jnp.where(zpre >= 0, dz, slope * dz)
+                dadst_ref[0, 0, :, h : h + 1] = jnp.sum(
+                    dz, axis=1, keepdims=True
+                )
+                dasrc_ref[0, 0, h : h + 1, :] = jnp.sum(
+                    dz, axis=0, keepdims=True
+                )
+
+        return fwd_kernel, bwd_kernel
 
     def _specs(H):
         return [
@@ -343,66 +356,80 @@ def make_band_attention_dma(
             pltpu.SemaphoreType.DMA((2,)),
         ]
 
-    def _call_fwd(adst_b, asrcT, x_flat, maskf):
-        B, H = adst_b.shape[1], adst_b.shape[-1]
-        HC = x_flat.shape[-1]
-        return pl.pallas_call(
-            fwd_kernel,
-            grid=(nB, B),
-            in_specs=_specs(H),
-            out_specs=pl.BlockSpec((1, 1, BLK, HC), lambda i, b: (i, b, 0, 0)),
-            out_shape=jax.ShapeDtypeStruct((nB, B, BLK, HC), jnp.float32),
-            scratch_shapes=_scratch(HC),
-            interpret=interpret,
-        )(adst_b, asrcT, maskf, x_flat)
+    def _build_core(mx):
+        fwd_kernel, bwd_kernel = _make_kernels(mx)
 
-    @jax.custom_vjp
-    def attend_core(adst_b, asrcT, x_flat, maskf):
-        return _call_fwd(adst_b, asrcT, x_flat, maskf)
+        def _call_fwd(adst_b, asrcT, x_flat, maskf):
+            B, H = adst_b.shape[1], adst_b.shape[-1]
+            HC = x_flat.shape[-1]
+            return pl.pallas_call(
+                fwd_kernel,
+                grid=(nB, B),
+                in_specs=_specs(H),
+                out_specs=pl.BlockSpec((1, 1, BLK, HC),
+                                       lambda i, b: (i, b, 0, 0)),
+                out_shape=jax.ShapeDtypeStruct((nB, B, BLK, HC), jnp.float32),
+                scratch_shapes=_scratch(HC),
+                interpret=interpret,
+            )(adst_b, asrcT, maskf, x_flat)
 
-    def fwd_fn(adst_b, asrcT, x_flat, maskf):
-        return _call_fwd(adst_b, asrcT, x_flat, maskf), (
-            adst_b, asrcT, x_flat, maskf,
-        )
+        @jax.custom_vjp
+        def attend_core(adst_b, asrcT, x_flat, maskf):
+            return _call_fwd(adst_b, asrcT, x_flat, maskf)
 
-    def bwd_fn(res, g):
-        adst_b, asrcT, x_flat, maskf = res
-        B, H = adst_b.shape[1], adst_b.shape[-1]
-        HC = x_flat.shape[-1]
-        d_adst, d_asrc, dxw = pl.pallas_call(
-            bwd_kernel,
-            grid=(nB, B),
-            in_specs=_specs(H) + [
-                pl.BlockSpec((1, 1, BLK, HC), lambda i, b: (i, b, 0, 0)),
-            ],
-            out_specs=[
-                pl.BlockSpec((1, 1, BLK, H), lambda i, b: (i, b, 0, 0)),
-                pl.BlockSpec((1, 1, H, W_pad), lambda i, b: (i, b, 0, 0)),
-                pl.BlockSpec((1, 1, W_pad, HC), lambda i, b: (i, b, 0, 0)),
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct((nB, B, BLK, H), jnp.float32),
-                jax.ShapeDtypeStruct((nB, B, H, W_pad), jnp.float32),
-                jax.ShapeDtypeStruct((nB, B, W_pad, HC), jnp.float32),
-            ],
-            scratch_shapes=_scratch(HC),
-            interpret=interpret,
-        )(adst_b, asrcT, maskf, x_flat, g)
-        # fold the windowed dx back onto the extended array — the same
-        # overlapping slice-adds band_windows' own AD produces
-        dx = jnp.zeros_like(x_flat)
-        for i in range(nB):
-            dx = dx.at[:, i * BLK : i * BLK + W, :].add(dxw[i, :, :W, :])
-        return d_adst, d_asrc, dx, jnp.zeros_like(maskf)
+        def fwd_fn(adst_b, asrcT, x_flat, maskf):
+            return _call_fwd(adst_b, asrcT, x_flat, maskf), (
+                adst_b, asrcT, x_flat, maskf,
+            )
 
-    attend_core.defvjp(fwd_fn, bwd_fn)
+        def bwd_fn(res, g):
+            adst_b, asrcT, x_flat, maskf = res
+            B, H = adst_b.shape[1], adst_b.shape[-1]
+            HC = x_flat.shape[-1]
+            d_adst, d_asrc, dxw = pl.pallas_call(
+                bwd_kernel,
+                grid=(nB, B),
+                in_specs=_specs(H) + [
+                    pl.BlockSpec((1, 1, BLK, HC), lambda i, b: (i, b, 0, 0)),
+                ],
+                out_specs=[
+                    pl.BlockSpec((1, 1, BLK, H), lambda i, b: (i, b, 0, 0)),
+                    pl.BlockSpec((1, 1, H, W_pad), lambda i, b: (i, b, 0, 0)),
+                    pl.BlockSpec((1, 1, W_pad, HC), lambda i, b: (i, b, 0, 0)),
+                ],
+                out_shape=[
+                    jax.ShapeDtypeStruct((nB, B, BLK, H), jnp.float32),
+                    jax.ShapeDtypeStruct((nB, B, H, W_pad), jnp.float32),
+                    jax.ShapeDtypeStruct((nB, B, W_pad, HC), jnp.float32),
+                ],
+                scratch_shapes=_scratch(HC),
+                interpret=interpret,
+            )(adst_b, asrcT, maskf, x_flat, g)
+            # fold the windowed dx back onto the extended array — the same
+            # overlapping slice-adds band_windows' own AD produces
+            dx = jnp.zeros_like(x_flat)
+            for i in range(nB):
+                dx = dx.at[:, i * BLK : i * BLK + W, :].add(dxw[i, :, :W, :])
+            return d_adst, d_asrc, dx, jnp.zeros_like(maskf)
 
-    def attend(a_dst, a_src_win, x_ext, adj_mask):
+        attend_core.defvjp(fwd_fn, bwd_fn)
+        return attend_core
+
+    cores: dict = {}
+
+    def attend(a_dst, a_src_win, x_ext, adj_mask, mxu_bf16: bool = False):
         """a_dst [B, n_pad, H] · a_src_win [nB, B, W, H] · x_ext
-        [B, n_ext, H, C] · adj_mask [nB, BLK, W] (bool) → [B, n_pad, H, C]."""
+        [B, n_ext, H, C] · adj_mask [nB, BLK, W] (bool) → [B, n_pad, H, C].
+
+        ``mxu_bf16=True`` casts the matmul operands to bfloat16 (f32
+        accumulation) — the kernel is MXU-compute-bound on f32 at large
+        H·C; opt-in via the model's ``attn_dtype`` field."""
         B, _n_ext, H, C = x_ext.shape
         assert _n_ext == n_ext, (x_ext.shape, n_ext)
         assert (H * C) % 128 == 0, "DMA rows must be lane-aligned (H·C % 128)"
+        mx = jnp.bfloat16 if mxu_bf16 else None
+        if mx not in cores:
+            cores[mx] = _build_core(mx)
         adst_b = a_dst.reshape(B, nB, BLK, H).transpose(1, 0, 2, 3)
         asrcT = jnp.pad(
             a_src_win.transpose(0, 1, 3, 2), ((0, 0),) * 3 + ((0, W_pad - W),)
@@ -410,7 +437,9 @@ def make_band_attention_dma(
         maskf = jnp.pad(
             adj_mask.astype(jnp.float32), ((0, 0), (0, 0), (0, W_pad - W))
         )
-        out = attend_core(adst_b, asrcT, x_ext.reshape(B, n_ext, H * C), maskf)
+        out = cores[mx](
+            adst_b, asrcT, x_ext.reshape(B, n_ext, H * C), maskf
+        )
         return out.transpose(1, 0, 2, 3).reshape(B, nB * BLK, H, C)
 
     return attend
