@@ -301,6 +301,7 @@ class GraphTemplate:
                 # 50.0 → 85.1 ms, and stays on the XLA band path)
                 from gnn_pressure_estimation_tpu.ops.pallas.band_attention import (
                     make_band_attention,
+                    make_band_attention_acc,
                     make_band_attention_dma,
                 )
                 from gnn_pressure_estimation_tpu.ops.banded import halo_widths
@@ -310,7 +311,14 @@ class GraphTemplate:
                 )
                 if os.environ.get("GNN_TPU_BAND_DMA", "1") == "1":
                     U, _R = halo_widths(bl.win_start, bl.W, bl.n_pad)
-                    band_attn_dma = make_band_attention_dma(
+                    # v3 (sliding-accumulator backward) unless disabled;
+                    # v2 keeps the windowed-dx backward as the fallback
+                    mk = (
+                        make_band_attention_acc
+                        if os.environ.get("GNN_TPU_BAND_ACC", "0") == "1"
+                        else make_band_attention_dma
+                    )
+                    band_attn_dma = mk(
                         *bl.adj_mask.shape, U, negative_slope=0.2
                     )
             dense_ops = {

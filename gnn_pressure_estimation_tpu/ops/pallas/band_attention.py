@@ -443,3 +443,270 @@ def make_band_attention_dma(
         return out.transpose(1, 0, 2, 3).reshape(B, nB * BLK, H, C)
 
     return attend
+
+
+def make_band_attention_acc(
+    nB: int,
+    BLK: int,
+    W: int,
+    U: int,
+    negative_slope: float,
+    interpret: Optional[bool] = None,
+):
+    """v3 kernel: v2's DMA'd input windows *plus* a sliding-accumulator
+    backward that writes ``dx`` directly onto the extended array — no
+    windowed ``[nB,B,W,H·C]`` dx tensor and no fold pass.
+
+    Window ``j`` covers rows ``[j·BLK, j·BLK+W)`` of the extended array, so
+    the last window touching row ``r`` is ``j = r//BLK``: with the grid
+    ordered graph-major (``i`` fastest, one graph's block-rows in sequence)
+    a ``[W_pad, H·C]`` VMEM accumulator can absorb window ``i``'s
+    contribution, flush its first BLK rows (now final) to HBM, shift by
+    BLK, and continue — TPU Pallas grids execute sequentially, which is
+    what makes the carry correct.  The adjacency mask is int8 here (the
+    i-fastest order reloads it every cell; f32 would re-read 4× the bytes).
+
+    Forward is v2's.  Returns ``attend(a_dst, a_src_win, x_ext, adj_mask,
+    mxu_bf16=False)`` or ``None`` past the VMEM guard.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    W_pad = _round_up(W, 128)
+    if BLK * W_pad * 4 > (1 << 20):
+        return None
+    slope = float(negative_slope)
+    n_ext = nB * BLK + (W - BLK)
+
+    v2 = make_band_attention_dma(nB, BLK, W, U, negative_slope, interpret)
+
+    def _attn(ad_col, as_row, mk):
+        z = ad_col + as_row
+        z = jnp.where(z >= 0, z, slope * z)
+        z = z * mk + (1.0 - mk) * NEG
+        m = jnp.max(z, axis=1, keepdims=True)
+        p = jnp.exp(z - m)
+        return p / jnp.sum(p, axis=1, keepdims=True)
+
+    def _window_dma(x_hbm, xbuf, sem, slot, b, i):
+        return pltpu.make_async_copy(
+            x_hbm.at[b, pl.ds(i * BLK, W), :],
+            xbuf.at[slot, pl.ds(0, W), :],
+            sem.at[slot],
+        )
+
+    def _make_bwd(mx):
+        def cast(a):
+            return a if mx is None else a.astype(mx)
+
+        def bwd_kernel(adst_ref, asrc_ref, mask_ref, x_hbm, do_ref,
+                       dadst_ref, dasrc_ref, dx_hbm,
+                       xbuf, xsem, acc, stage, fsem):
+            nBp = pl.num_programs(1)
+            b, i = pl.program_id(0), pl.program_id(1)
+            t = b * nBp + i
+            slot = jax.lax.rem(t, 2)
+            nxt = jax.lax.rem(t + 1, 2)
+
+            @pl.when(t == 0)
+            def _():
+                _window_dma(x_hbm, xbuf, xsem, slot, b, i).start()
+                if W_pad > W:
+                    xbuf[0, pl.ds(W, W_pad - W), :] = jnp.zeros(
+                        (W_pad - W, xbuf.shape[-1]), xbuf.dtype)
+                    xbuf[1, pl.ds(W, W_pad - W), :] = jnp.zeros(
+                        (W_pad - W, xbuf.shape[-1]), xbuf.dtype)
+
+            @pl.when(t + 1 < pl.num_programs(0) * nBp)
+            def _():
+                t1 = t + 1
+                _window_dma(x_hbm, xbuf, xsem, nxt,
+                            t1 // nBp, jax.lax.rem(t1, nBp)).start()
+
+            _window_dma(x_hbm, xbuf, xsem, slot, b, i).wait()
+            xw = xbuf[slot]
+
+            @pl.when(i == 0)
+            def _():
+                acc[...] = jnp.zeros_like(acc)
+
+            mk = mask_ref[0].astype(jnp.float32)
+            H = adst_ref.shape[-1]
+            C = xw.shape[-1] // H
+            for h in range(H):
+                ad_col = adst_ref[0, 0][:, h : h + 1]
+                as_row = asrc_ref[0, 0][h : h + 1, :]
+                p = _attn(ad_col, as_row, mk)
+                do_h = do_ref[0, 0][:, h * C : (h + 1) * C]
+                x_h = xw[:, h * C : (h + 1) * C]
+                acc[:, h * C : (h + 1) * C] += jax.lax.dot_general(
+                    cast(p), cast(do_h), (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                dp = jax.lax.dot_general(
+                    cast(do_h), cast(x_h), (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                delta = jnp.sum(dp * p, axis=1, keepdims=True)
+                dz = p * (dp - delta)
+                zpre = ad_col + as_row
+                dz = jnp.where(zpre >= 0, dz, slope * dz)
+                dadst_ref[0, 0, :, h : h + 1] = jnp.sum(
+                    dz, axis=1, keepdims=True)
+                dasrc_ref[0, 0, h : h + 1, :] = jnp.sum(
+                    dz, axis=0, keepdims=True)
+
+            # rows [i·BLK, (i+1)·BLK) are final: stage + async flush, then
+            # slide the accumulator by BLK for the next block-row
+            fslot = jax.lax.rem(i, 2)
+
+            @pl.when(i >= 2)
+            def _():
+                pltpu.make_async_copy(
+                    stage.at[fslot],
+                    dx_hbm.at[b, pl.ds((i - 2) * BLK, BLK), :],
+                    fsem.at[fslot],
+                ).wait()
+
+            stage[fslot, :, :] = acc[pl.ds(0, BLK), :]
+            pltpu.make_async_copy(
+                stage.at[fslot],
+                dx_hbm.at[b, pl.ds(i * BLK, BLK), :],
+                fsem.at[fslot],
+            ).start()
+
+            @pl.when(i < nBp - 1)
+            def _():
+                acc[pl.ds(0, W_pad - BLK), :] = acc[pl.ds(BLK, W_pad - BLK), :]
+                acc[pl.ds(W_pad - BLK, BLK), :] = jnp.zeros(
+                    (BLK, acc.shape[-1]), acc.dtype)
+
+            @pl.when(i == nBp - 1)
+            def _():
+                # drain the previous staged flush first (it shares the
+                # semaphore slot the tail copy will reuse), then flush the
+                # remaining W−BLK rows straight from the accumulator (acc is
+                # not touched again → synchronous start+wait, no staging),
+                # then drain this step's own flush
+                @pl.when(i >= 1)
+                def _():
+                    pltpu.make_async_copy(
+                        stage.at[jax.lax.rem(i - 1, 2)],
+                        dx_hbm.at[b, pl.ds((i - 1) * BLK, BLK), :],
+                        fsem.at[jax.lax.rem(i - 1, 2)],
+                    ).wait()
+
+                tail = W - BLK
+                tdma = pltpu.make_async_copy(
+                    acc.at[pl.ds(BLK, tail), :],
+                    dx_hbm.at[b, pl.ds(nB * BLK, tail), :],
+                    fsem.at[jax.lax.rem(i + 1, 2)],
+                )
+                tdma.start()
+                tdma.wait()
+
+                pltpu.make_async_copy(
+                    stage.at[fslot],
+                    dx_hbm.at[b, pl.ds(i * BLK, BLK), :],
+                    fsem.at[fslot],
+                ).wait()
+
+        return bwd_kernel
+
+    def _specs(H):
+        return [
+            pl.BlockSpec((1, 1, BLK, H), lambda b, i: (i, b, 0, 0)),
+            pl.BlockSpec((1, 1, H, W_pad), lambda b, i: (i, b, 0, 0)),
+            pl.BlockSpec((1, BLK, W_pad), lambda b, i: (i, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ]
+
+    def _build_bwd(mx):
+        bwd_kernel = _make_bwd(mx)
+
+        def call_bwd(adst_b, asrcT, x_flat, mask8, g):
+            B, H = adst_b.shape[1], adst_b.shape[-1]
+            HC = x_flat.shape[-1]
+            return pl.pallas_call(
+                bwd_kernel,
+                grid=(B, nB),
+                in_specs=_specs(H) + [
+                    pl.BlockSpec((1, 1, BLK, HC), lambda b, i: (i, b, 0, 0)),
+                ],
+                out_specs=[
+                    pl.BlockSpec((1, 1, BLK, H), lambda b, i: (i, b, 0, 0)),
+                    pl.BlockSpec((1, 1, H, W_pad), lambda b, i: (i, b, 0, 0)),
+                    pl.BlockSpec(memory_space=pltpu.ANY),
+                ],
+                out_shape=[
+                    jax.ShapeDtypeStruct((nB, B, BLK, H), jnp.float32),
+                    jax.ShapeDtypeStruct((nB, B, H, W_pad), jnp.float32),
+                    jax.ShapeDtypeStruct((B, n_ext, HC), jnp.float32),
+                ],
+                scratch_shapes=[
+                    pltpu.VMEM((2, W_pad, HC), jnp.float32),
+                    pltpu.SemaphoreType.DMA((2,)),
+                    pltpu.VMEM((W_pad, HC), jnp.float32),
+                    pltpu.VMEM((2, BLK, HC), jnp.float32),
+                    pltpu.SemaphoreType.DMA((2,)),
+                ],
+                interpret=interpret,
+            )(adst_b, asrcT, mask8, x_flat, g)
+
+        return call_bwd
+
+    cores: dict = {}
+
+    def attend(a_dst, a_src_win, x_ext, adj_mask, mxu_bf16: bool = False):
+        """v3 public API — forward identical to v2 (and reuses it); the
+        custom VJP routes the backward through the sliding-accumulator
+        kernel."""
+        B, _n_ext, H, C = x_ext.shape
+        assert _n_ext == n_ext, (x_ext.shape, n_ext)
+        assert (H * C) % 128 == 0
+        mx = jnp.bfloat16 if mxu_bf16 else None
+        if mx not in cores:
+            call_bwd = _build_bwd(mx)
+
+            @jax.custom_vjp
+            def core(a_dst, a_src_win, x_ext, adj_mask):
+                return v2(a_dst, a_src_win, x_ext, adj_mask,
+                          mxu_bf16=mx is not None)
+
+            def fwd_fn(a_dst, a_src_win, x_ext, adj_mask):
+                return core(a_dst, a_src_win, x_ext, adj_mask), (
+                    a_dst, a_src_win, x_ext, adj_mask)
+
+            def bwd_fn(res, g):
+                a_dst, a_src_win, x_ext_, adj_mask = res
+                B_, _, H_, C_ = x_ext_.shape
+                adst_b = a_dst.reshape(B_, nB, BLK, H_).transpose(1, 0, 2, 3)
+                asrcT = jnp.pad(
+                    a_src_win.transpose(0, 1, 3, 2),
+                    ((0, 0),) * 3 + ((0, W_pad - W),))
+                mask8 = jnp.pad(
+                    adj_mask.astype(jnp.int8),
+                    ((0, 0), (0, 0), (0, W_pad - W)))
+                g_b = g.reshape(B_, nB, BLK, H_ * C_).transpose(1, 0, 2, 3)
+                d_adst, d_asrc, dx = call_bwd(
+                    adst_b, asrcT,
+                    x_ext_.reshape(B_, n_ext, H_ * C_), mask8, g_b)
+                d_a_dst = d_adst.transpose(1, 0, 2, 3).reshape(B_, nB * BLK, H_)
+                d_a_src = d_asrc[:, :, :, :W].transpose(0, 1, 3, 2)
+                # bool/int mask primal → float0 cotangent per custom_vjp rules
+                import numpy as _np
+
+                dmask = (
+                    jnp.zeros_like(adj_mask)
+                    if jnp.issubdtype(adj_mask.dtype, jnp.floating)
+                    else _np.zeros(adj_mask.shape, jax.dtypes.float0)
+                )
+                return (d_a_dst, d_a_src, dx.reshape(B_, n_ext, H_, C_), dmask)
+
+            core.defvjp(fwd_fn, bwd_fn)
+            cores[mx] = core
+        return cores[mx](a_dst, a_src_win, x_ext, adj_mask)
+
+    return attend

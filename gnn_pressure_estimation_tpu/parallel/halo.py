@@ -148,14 +148,18 @@ def build_halo_partition(template: GraphTemplate, gp: int) -> HaloPartition:
     if os.environ.get("GNN_TPU_BAND_ATTN", "1") == "1":
         from gnn_pressure_estimation_tpu.ops.pallas.band_attention import (
             make_band_attention,
+            make_band_attention_acc,
             make_band_attention_dma,
         )
 
         band_attn = make_band_attention(nbL, BLK, W, negative_slope=0.2)
         if os.environ.get("GNN_TPU_BAND_DMA", "1") == "1":
-            band_attn_dma = make_band_attention_dma(
-                nbL, BLK, W, U, negative_slope=0.2
+            mk = (
+                make_band_attention_acc
+                if os.environ.get("GNN_TPU_BAND_ACC", "0") == "1"
+                else make_band_attention_dma
             )
+            band_attn_dma = mk(nbL, BLK, W, U, negative_slope=0.2)
     return HaloPartition(
         gp=gp, nbL=nbL, BLK=BLK, W=W, U=U, R=R, chunk=chunk,
         n_pad_dist=gp * chunk, n_orig=template.n_node,
