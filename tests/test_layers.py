@@ -358,6 +358,40 @@ def test_band_kernel_routing_through_model(rng):
                                        rtol=1e-3, atol=1e-4)
 
 
+def test_band_attention_acc_matches_dma(rng):
+    """v3 (sliding-accumulator backward) == v2 exactly, fwd + all input
+    grads, across shapes including single-block and tail edge cases."""
+    from gnn_pressure_estimation_tpu.ops.pallas.band_attention import (
+        make_band_attention_acc,
+        make_band_attention_dma,
+    )
+
+    for nB, B, BLK, W, H, C in [(3, 2, 16, 40, 2, 64), (1, 2, 16, 40, 1, 128)]:
+        U = (W - BLK) // 2
+        n_pad, n_ext = nB * BLK, nB * BLK + W - BLK
+        adj = jnp.asarray(rng.random((nB, BLK, W)) < 0.3)
+        a_dst = jnp.asarray(
+            rng.standard_normal((B, n_pad, H)).astype(np.float32))
+        a_src = jnp.asarray(
+            rng.standard_normal((nB, B, W, H)).astype(np.float32))
+        x_ext = jnp.asarray(
+            rng.standard_normal((B, n_ext, H, C)).astype(np.float32))
+        v2 = make_band_attention_dma(nB, BLK, W, U, 0.2, interpret=True)
+        v3 = make_band_attention_acc(nB, BLK, W, U, 0.2, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(v3(a_dst, a_src, x_ext, adj)),
+            np.asarray(v2(a_dst, a_src, x_ext, adj)), rtol=1e-6, atol=1e-7)
+
+        def loss(f):
+            return lambda args: jnp.sum(jnp.tanh(f(*args, adj)))
+
+        g2 = jax.grad(loss(v2))((a_dst, a_src, x_ext))
+        g3 = jax.grad(loss(v3))((a_dst, a_src, x_ext))
+        for a, b in zip(g3, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-7)
+
+
 def test_fused_attention_kernel_parity(rng):
     """Pallas fused masked-attention kernel == einsum dense path (interpret)."""
     import dataclasses as dc
