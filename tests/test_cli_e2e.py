@@ -1,0 +1,53 @@
+"""End-to-end CLI smoke: netgen → mkconfig → generate → train → eval.
+
+Locks the full command surface (reference README.md:15-106 workflow) the
+way a user drives it — network synthesis, config derivation, scenario
+generation with the in-repo GGA solver, a short training run with
+checkpointing, and a noisy evaluation through the batched scene path.
+"""
+
+import configparser
+import os
+
+
+from gnn_pressure_estimation_tpu.cli import main
+
+
+def test_cli_full_workflow(tmp_path):
+    d = str(tmp_path)
+    inp = f"{d}/net.inp"
+    ini = f"{d}/net.ini"
+    ckdir = f"{d}/ckpt"
+
+    assert main(["netgen", "--junctions", "24", "--reservoirs", "1",
+                 "--tanks", "1", "--pumps", "1", "--valves", "1",
+                 "--out", inp, "--seed", "3"]) == 0
+    assert main(["mkconfig", "--wn_inp_path", inp, "--out", ini,
+                 "--num_scenarios", "16"]) == 0
+
+    cp = configparser.ConfigParser()
+    cp.read(ini)
+    cp.set("general", "storage_dir", f"{d}/data")
+    with open(ini, "w") as fh:
+        cp.write(fh)
+
+    assert main(["generate", "--config", ini, "--executors", "2",
+                 "--batch_size", "4", "--gen_demand",
+                 "--gen_res_total_head"]) == 0
+    zipf = f"{d}/data.zip"
+    assert os.path.exists(zipf)
+
+    assert main(["train", "--model", "gatres_small", "--dataset_paths", zipf,
+                 "--input_paths", inp, "--epochs", "2", "--batch_size", "4",
+                 "--mask_rate", "0.75", "--save_path", ckdir,
+                 "--device", "cpu"]) == 0
+    cks = [f for f in os.listdir(ckdir) if f.startswith("best_")]
+    assert cks, "no checkpoint written"
+
+    assert main(["eval", "--model", "gatres_small",
+                 "--model_path", os.path.join(ckdir, cks[0]),
+                 "--test_input_path", inp, "--test_type", "noisyNN",
+                 "--num_test_trials", "2", "--batch_size", "1",
+                 "--mask_rate", "0.5", "--mean_dmd", "0.05",
+                 "--std_dmd", "0.1", "--device", "cpu",
+                 "--gpu_warmup_times", "0"]) == 0
