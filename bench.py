@@ -18,10 +18,95 @@ from __future__ import annotations
 import json
 import math
 import os
+import subprocess
 import sys
 import time
 
 import numpy as np
+
+# ---------------------------------------------------------------------------
+# Relay watchdog (orchestrator mode)
+#
+# The single TPU chip sits behind a relay that occasionally fails to
+# initialize or hangs indefinitely (round-2 post-mortem: bare
+# ``jax.devices()`` stalled >120 s and bench.py >560 s with no output).  A
+# bare ``import jax``-and-go bench turns every relay blip into a lost perf
+# round.  So the default entrypoint is an orchestrator that
+#   1. probes backend init in a *subprocess* under a hard timeout, retrying
+#      with backoff (a hung probe is killed, not waited on);
+#   2. runs the actual benchmark in a watched subprocess, retrying once;
+#   3. on unrecoverable failure emits ONE structured JSON line (so the
+#      driver records a diagnosable failure, not a raw traceback or hang).
+# ``python bench.py --run`` executes the real benchmark in-process.
+# ---------------------------------------------------------------------------
+
+PROBE_TIMEOUT_S = 75
+PROBE_BACKOFFS_S = (0, 15, 45, 90)  # sleep before each probe attempt
+RUN_TIMEOUT_S = 1500  # first compile of the step can take minutes cold
+
+
+def _probe_backend() -> tuple[bool, str]:
+    """Check that the default jax backend initializes, in a killable child."""
+    code = "import jax; d = jax.devices(); print(d[0].platform, len(d))"
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True, text=True, timeout=PROBE_TIMEOUT_S,
+        )
+    except subprocess.TimeoutExpired:
+        return False, f"backend probe hung >{PROBE_TIMEOUT_S}s (killed)"
+    if r.returncode != 0:
+        tail = (r.stderr or r.stdout).strip().splitlines()[-1:]
+        return False, f"backend probe rc={r.returncode}: {' '.join(tail)[:300]}"
+    return True, r.stdout.strip()
+
+
+def _emit_failure(reason: str) -> None:
+    print(json.dumps({
+        "metric": "gatres_small_train_edges_per_s",
+        "value": 0.0,
+        "unit": "edges/s/chip",
+        "vs_baseline": 0.0,
+        "error": reason,
+    }))
+
+
+def orchestrate() -> int:
+    last = "no probe attempted"
+    up = False
+    for backoff in PROBE_BACKOFFS_S:
+        if backoff:
+            print(f"# relay not up ({last}); retrying in {backoff}s",
+                  file=sys.stderr)
+            time.sleep(backoff)
+        up, last = _probe_backend()
+        if up:
+            print(f"# backend up: {last}", file=sys.stderr)
+            break
+    if not up:
+        _emit_failure(f"TPU relay never initialized: {last}")
+        return 1
+
+    for attempt in range(2):
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--run"],
+                capture_output=True, text=True, timeout=RUN_TIMEOUT_S,
+            )
+        except subprocess.TimeoutExpired:
+            last = f"bench run hung >{RUN_TIMEOUT_S}s (killed)"
+            continue
+        sys.stderr.write(r.stderr or "")
+        json_lines = [ln for ln in (r.stdout or "").splitlines()
+                      if ln.lstrip().startswith("{")]
+        if r.returncode == 0 and json_lines:
+            print(json_lines[-1])
+            return 0
+        tail = (r.stderr or r.stdout).strip().splitlines()[-1:]
+        last = f"bench run rc={r.returncode}: {' '.join(tail)[:300]}"
+        print(f"# attempt {attempt + 1} failed: {last}", file=sys.stderr)
+    _emit_failure(last)
+    return 1
 
 
 def main():
@@ -124,4 +209,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--run" in sys.argv:
+        main()
+    else:
+        sys.exit(orchestrate())

@@ -221,16 +221,19 @@ class GraphTemplate:
     def band_layout(self, block: Optional[int] = None, lane: int = 128):
         """RCM band layout, cached per (block, lane).
 
-        ``block=None`` returns the most recently built layout (building the
-        256 default on first use) so ``batch(mode="banded")`` reuses a
-        layout pre-seeded at a non-default block size.
+        ``block=None`` resolves to the template's *default block*: the block
+        most recently requested **explicitly** through this method (e.g. by a
+        Trainer built with ``band_block=64``), falling back to 256.  The
+        default is tracked explicitly rather than by cache insertion order,
+        so building an auxiliary layout elsewhere cannot silently change
+        what ``batch(mode="banded")`` or ``build_halo_partition`` later see.
         """
         if not hasattr(self, "_band_cache") or self._band_cache is None:
             self._band_cache = {}
         if block is None:
-            if self._band_cache:
-                return next(reversed(self._band_cache.values()))
-            block = 256
+            block, lane = getattr(self, "_band_default", None) or (256, lane)
+        else:
+            self._band_default = (block, lane)
         key = (block, lane)
         if key not in self._band_cache:
             from gnn_pressure_estimation_tpu.ops.banded import build_band_layout

@@ -320,7 +320,10 @@ def blosc_decompress(frame: bytes) -> bytes:
         boff = bstarts[bi]
         bsize = min(blocksize, nbytes - bi * blocksize)
         leftover = bsize != blocksize
-        nsplits = typesize if (doshuffle and not dont_split and not leftover) else 1
+        # c-blosc's blosc_d splits into typesize streams whenever the header's
+        # DONT_SPLIT flag is clear and the block is full-size — independent of
+        # the shuffle flag (lz4 NOSHUFFLE frames with typesize>1 are split too)
+        nsplits = typesize if (not dont_split and not leftover) else 1
         neblock = bsize // nsplits
         block = bytearray()
         off = boff
@@ -368,10 +371,11 @@ def blosc_compress(
         typesize = 1
     blocksize = blocksize or _pick_blocksize(nbytes, typesize)
     doshuffle = do_shuffle and typesize > 1
-    # c-blosc splits shuffled blosclz/lz4 blocks into per-byte-lane streams
+    # c-blosc splits blosclz/lz4 blocks into per-byte-lane streams whenever
+    # typesize allows — independent of the shuffle filter (split_block())
     split = (
         codec_id == _CODEC_LZ4
-        and doshuffle
+        and typesize > 1
         and typesize <= _MAX_SPLITS
         and blocksize // typesize >= _MIN_BUFFERSIZE
     )

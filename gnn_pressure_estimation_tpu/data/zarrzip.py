@@ -104,7 +104,11 @@ class ZarrZipWriter:
     def set_attrs(self, path: str, attrs: dict):
         self._write_json(path, ".zattrs", attrs)
 
-    def write_array(self, path: str, arr: np.ndarray, chunks=None):
+    def write_array(self, path: str, arr: np.ndarray, chunks=None,
+                    compressor: str = "default"):
+        """``compressor`` overrides the writer default for this one array
+        (None | "zlib" | "blosc"), e.g. the reference stores its ``token``
+        parameter array Blosc-lz4 regardless of the rest of the store."""
         arr = np.ascontiguousarray(arr)
         if chunks is None:
             chunks = arr.shape if arr.ndim else (1,)
@@ -112,11 +116,12 @@ class ZarrZipWriter:
             arr.shape[i] if c in (-1, None) else min(int(c), max(arr.shape[i], 1))
             for i, c in enumerate(chunks)
         )
-        if self.compressor == "blosc":
+        comp_name = self.compressor if compressor == "default" else compressor
+        if comp_name == "blosc":
             # the reference's own chunk encoding (numcodecs Blosc lz4+shuffle)
             comp = {"id": "blosc", "cname": "lz4", "clevel": self.clevel,
                     "shuffle": 1, "blocksize": 0}
-        elif self.compressor:
+        elif comp_name:
             comp = {"id": "zlib", "level": self.clevel}
         else:
             comp = None
@@ -144,11 +149,11 @@ class ZarrZipWriter:
                 pad[tuple(slice(0, d) for d in block.shape)] = block
                 block = pad
             raw = np.ascontiguousarray(block).tobytes()
-            if self.compressor == "blosc":
+            if comp_name == "blosc":
                 from gnn_pressure_estimation_tpu.data.codecs import blosc_compress
 
                 raw = blosc_compress(raw, typesize=arr.dtype.itemsize)
-            elif self.compressor:
+            elif comp_name:
                 raw = zlib.compress(raw, self.clevel)
             name = ".".join(map(str, idx)) if idx else "0"
             self._put(f"{path}/{name}", raw)

@@ -598,14 +598,17 @@ def make_band_attention_acc(
                         fsem.at[jax.lax.rem(i - 1, 2)],
                     ).wait()
 
+                # static guard: when W == BLK there are no tail rows and a
+                # zero-length async copy may be rejected by Mosaic
                 tail = W - BLK
-                tdma = pltpu.make_async_copy(
-                    acc.at[pl.ds(BLK, tail), :],
-                    dx_hbm.at[b, pl.ds(nB * BLK, tail), :],
-                    fsem.at[jax.lax.rem(i + 1, 2)],
-                )
-                tdma.start()
-                tdma.wait()
+                if tail > 0:
+                    tdma = pltpu.make_async_copy(
+                        acc.at[pl.ds(BLK, tail), :],
+                        dx_hbm.at[b, pl.ds(nB * BLK, tail), :],
+                        fsem.at[jax.lax.rem(i + 1, 2)],
+                    )
+                    tdma.start()
+                    tdma.wait()
 
                 pltpu.make_async_copy(
                     stage.at[fslot],

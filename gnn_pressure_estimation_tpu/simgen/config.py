@@ -52,6 +52,31 @@ class GenOptions:
     gen_res_total_head: bool = False
     skip_resevoir_result: bool = False
     update_totalhead_method: Optional[str] = None  # None | "add_max_elevation"
+    # user-value injection: per-parameter JSON ``{"uid": value}`` (inline
+    # string or ``@path/to/file``) pinning named elements to fixed values
+    # (reference update_*_json flag family, scenegenv7.py:78-261; partial
+    # override here instead of the reference's zero-fill — tokens.py)
+    update_demand_json: Optional[str] = None
+    update_elevation_json: Optional[str] = None
+    update_pipe_roughness_json: Optional[str] = None
+    update_pipe_diameter_json: Optional[str] = None
+    update_pipe_length_json: Optional[str] = None
+    update_pipe_minorloss_json: Optional[str] = None
+    update_pump_init_status_json: Optional[str] = None
+    update_pump_speed_json: Optional[str] = None
+    update_pump_length_json: Optional[str] = None
+    update_tank_level_json: Optional[str] = None
+    update_tank_elevation_json: Optional[str] = None
+    update_tank_diameter_json: Optional[str] = None
+    update_valve_init_status_json: Optional[str] = None
+    update_valve_setting_json: Optional[str] = None
+    update_valve_diameter_json: Optional[str] = None
+    update_res_total_head_json: Optional[str] = None
+    # parameter persistence / reuse (reference RayTokenGenerator stores the
+    # sampled matrix as the 'token' zarr array and can reload it,
+    # TokenGeneratorByRange.py:564-633)
+    save_params: bool = True      # write accepted rows as <store>/token
+    load_params: Optional[str] = None  # regenerate from a prior store's token array
     # formula selection (reference defaults: range for demand,
     # ran_cluster documented for elevation — scenegenv7.py:90-94)
     demand_formula: str = "range"

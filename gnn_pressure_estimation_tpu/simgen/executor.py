@@ -306,16 +306,27 @@ class ScenarioExecutor:
 
     def simulate(self, batch_params: np.ndarray):
         """Batch loop (reference WDNExecutor.simulate, :478-497): returns
-        ({attr: [n_ok, n]}, ordered_name_lists)."""
+        ({attr: [n_ok, n]}, ordered_name_lists, accepted_params [n_ok, F]).
+
+        ``accepted_params`` are the parameter rows of the scenarios that
+        survived the plausibility filters, row-aligned with the output
+        arrays — the audit trail the reference persists as the ``token``
+        zarr array (TokenGeneratorByRange.py:592-621)."""
         batch: dict[str, list] = {}
+        ok_rows: list[np.ndarray] = []
         for row in batch_params:
             single, error = self.simulate_one(row)
             if not error or self.opts.allow_error:
                 for key, value in single.items():
                     batch.setdefault(key, []).append(value)
+                ok_rows.append(np.asarray(row, np.float64))
         out = {
             key: np.concatenate(vals, axis=0) for key, vals in batch.items() if vals
         }
+        n_feat = batch_params.shape[-1] if hasattr(batch_params, "shape") else 0
+        ok_params = (
+            np.stack(ok_rows, axis=0) if ok_rows else np.zeros((0, n_feat))
+        )
         skip = set(self.skip_nodes)
         kept_junctions = [n for n in self.junction_names if n not in skip]
         names = {
@@ -326,4 +337,4 @@ class ScenarioExecutor:
             )
             for attr in self.opts.attributes()
         }
-        return out, names
+        return out, names, ok_params

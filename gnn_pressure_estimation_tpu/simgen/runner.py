@@ -26,12 +26,22 @@ from typing import Optional
 import numpy as np
 
 from gnn_pressure_estimation_tpu.data.inp import parse_inp
-from gnn_pressure_estimation_tpu.data.zarrzip import ZarrZipWriter, zip_directory_store
+from gnn_pressure_estimation_tpu.data.zarrzip import (
+    ZarrZipReader,
+    ZarrZipWriter,
+    zip_directory_store,
+)
 from gnn_pressure_estimation_tpu.simgen.config import GenOptions, read_config
 from gnn_pressure_estimation_tpu.simgen.executor import ScenarioExecutor
-from gnn_pressure_estimation_tpu.simgen.tokens import build_feature_specs, sample_params
+from gnn_pressure_estimation_tpu.simgen.tokens import (
+    build_feature_specs,
+    build_injections,
+    sample_params,
+)
 
 _WORKER: dict = {}
+
+TOKEN_KEY = "token"  # reference ParamEnum.RANDOM_TOKEN zarr array name
 
 
 def _worker_init(inp_text: str, cfg_path: str, opts: GenOptions):
@@ -42,14 +52,28 @@ def _worker_init(inp_text: str, cfg_path: str, opts: GenOptions):
     specs = build_feature_specs(wn, cfg, opts)
     _WORKER["executor"] = ScenarioExecutor(wn, specs, cfg, opts)
     _WORKER["specs"] = specs
+    _WORKER["injections"] = build_injections(specs, opts)
 
 
 def _worker_run(args):
-    batch_seed, chunk_size = args
+    """Sample (or take precomputed) parameter rows and solve them."""
+    batch_seed, chunk_size, preset_params = args
     ex: ScenarioExecutor = _WORKER["executor"]
-    rng = np.random.default_rng(batch_seed)
-    params = sample_params(_WORKER["specs"], chunk_size, rng)
+    if preset_params is not None:
+        params = np.asarray(preset_params, np.float64)
+    else:
+        rng = np.random.default_rng(batch_seed)
+        params = sample_params(
+            _WORKER["specs"], chunk_size, rng, _WORKER["injections"]
+        )
     return ex.simulate(params)
+
+
+def load_computed_params(store_path: str) -> np.ndarray:
+    """Read a prior run's accepted parameter matrix (reference
+    RayTokenGenerator.load_computed_params, TokenGeneratorByRange.py:628-633)."""
+    with ZarrZipReader(store_path) as r:
+        return r.read_array(TOKEN_KEY)
 
 
 def generate(
@@ -71,28 +95,43 @@ def generate(
     if not specs:
         raise ValueError("no gen_* flags enabled — nothing to randomize")
 
-    backup = num_scenarios * opts.oversample_factor
     batch_size = opts.batch_size
-    num_batches = max(backup // batch_size, 1)
     attrs = opts.attributes()
+
+    preset = None
+    if opts.load_params:
+        # regenerate from a prior run's accepted parameter rows — no
+        # oversampling (every row already passed the filters), and row
+        # order is preserved so the rebuilt store is byte-identical
+        preset = load_computed_params(opts.load_params)
+        num_scenarios = preset.shape[0]
+        work = [
+            (0, 0, preset[b : b + batch_size])
+            for b in range(0, num_scenarios, batch_size)
+        ]
+    else:
+        backup = num_scenarios * opts.oversample_factor
+        num_batches = max(backup // batch_size, 1)
+        seeds = [opts.seed * 1_000_003 + b for b in range(num_batches)]
+        work = [(s, batch_size, None) for s in seeds]
 
     t0 = time.time()
     log_fn(
-        f"generate: {num_scenarios} scenarios (oversampled {backup}) on "
-        f"{opts.executors} workers, batch {batch_size}, attrs {attrs}"
+        f"generate: {num_scenarios} scenarios "
+        + (f"(from {opts.load_params})" if preset is not None
+           else f"(oversampled {num_scenarios * opts.oversample_factor})")
+        + f" on {opts.executors} workers, batch {batch_size}, attrs {attrs}"
     )
 
     collected: dict[str, list[np.ndarray]] = {a: [] for a in attrs}
+    token_rows: list[np.ndarray] = []
     ordered_names: dict[str, list[str]] = {}
     success = 0
     batches_done = 0
 
-    seeds = [opts.seed * 1_000_003 + b for b in range(num_batches)]
-    work = [(s, batch_size) for s in seeds]
-
     def consume(result):
         nonlocal success, batches_done
-        batch, names = result
+        batch, names, ok_params = result
         batches_done += 1
         if not batch:
             return
@@ -104,9 +143,12 @@ def generate(
             collected[key].append(value[:take])
             if key not in ordered_names:
                 ordered_names[key] = names[key]
+        token_rows.append(ok_params[:take])
         success += take
 
-    if opts.executors <= 1:
+    if opts.executors <= 1 or preset is not None:
+        # load mode runs in-process sequentially: row order must match the
+        # source store exactly, and solve cost dominates setup anyway
         _worker_init(inp_text, config_path, opts)
         for w in work:
             if success >= num_scenarios:
@@ -177,7 +219,61 @@ def generate(
             w.write_array(f"{key}/valid", valid_a, chunks=chunk)
             w.write_array(f"{key}/test", test_a, chunks=chunk)
 
+        if opts.save_params and token_rows:
+            # audit trail: accepted parameter rows, row-aligned with the
+            # attribute arrays, Blosc-lz4 like the reference's token array
+            # (TokenGeneratorByRange.py:592-621) — a store regenerates
+            # bit-identically via ``load_params``
+            tokens = np.concatenate(token_rows, axis=0)[:success].astype(np.float64)
+            w.write_array(
+                TOKEN_KEY, tokens,
+                chunks=(max(batch_size, 1), max(tokens.shape[-1], 1)),
+                compressor="blosc",
+            )
+
+    if opts.debug:
+        dump_debug(storage_dir, collected, success, log_fn)
+
     zip_path = storage_dir.rstrip("/\\") + ".zip"
     zip_directory_store(storage_dir, zip_path)
     log_fn(f"Execution time: {time.time() - t0:.1f} s → {zip_path}")
     return zip_path
+
+
+def dump_debug(storage_dir: str, collected: dict, success: int, log_fn=print):
+    """Generation observability (reference scenegenv7.py:728-742 renders
+    per-attribute histograms with plt.show): per-attribute histograms and
+    min/max/mean/std/corr diagnostics, logged as text and rendered to
+    ``<storage_dir>_debug.png`` (headless-safe)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    keys = [k for k, v in collected.items() if v]
+    fig, axes = plt.subplots(1, max(len(keys), 1), figsize=(6 * len(keys), 4))
+    axes = np.atleast_1d(axes)
+    for ax, key in zip(axes, keys):
+        a = np.concatenate(collected[key], axis=0)[:success].astype(float)
+        flat = a.ravel()
+        with np.errstate(invalid="ignore", divide="ignore"):
+            corr = float(np.nanmean(np.corrcoef(a.T))) if a.shape[0] > 1 else 1.0
+        log_fn(
+            f"debug[{key}]: shape={a.shape} min={flat.min():.4g} "
+            f"max={flat.max():.4g} mean={flat.mean():.4g} std={flat.std():.4g} "
+            f"feat_corr={corr:.4f}"
+        )
+        hist, edges = np.histogram(flat, bins=10)
+        bars = " ".join(
+            f"[{lo:.3g},{hi:.3g}):{c}"
+            for lo, hi, c in zip(edges[:-1], edges[1:], hist)
+        )
+        log_fn(f"debug[{key}] hist10: {bars}")
+        ax.hist(flat, bins=100, alpha=0.5, label=key)
+        ax.set_title(key)
+        ax.legend()
+    png = storage_dir.rstrip("/\\") + "_debug.png"
+    fig.tight_layout()
+    fig.savefig(png, dpi=80)
+    plt.close(fig)
+    log_fn(f"debug figure → {png}")

@@ -118,6 +118,8 @@ class FeatureSpec:
     # reference TokenGeneratorByRange.py:411-442)
     elem_lo: Optional[np.ndarray] = None
     elem_hi: Optional[np.ndarray] = None
+    # element uids in feature order, for update_*_json targeting
+    uids: tuple = ()
 
 
 def build_feature_specs(wn, cfg, opts) -> list[FeatureSpec]:
@@ -211,20 +213,110 @@ def build_feature_specs(wn, cfg, opts) -> list[FeatureSpec]:
         specs.append(FeatureSpec(ParamEnum.RESERVOIR_TOTALHEAD, n_res, lo, hi,
                                  coords=coords[nj : nj + n_res]))
 
-    return specs
+    junc_ids = tuple(j.id for j in wn.junctions)
+    uid_map = {
+        ParamEnum.JUNC_DEMAND: junc_ids,
+        ParamEnum.JUNC_ELEVATION: junc_ids,
+        ParamEnum.PIPE_ROUGHNESS: tuple(p.id for p in wn.pipes),
+        ParamEnum.PIPE_DIAMETER: tuple(p.id for p in wn.pipes),
+        ParamEnum.PIPE_LENGTH: tuple(p.id for p in wn.pipes),
+        ParamEnum.PIPE_MINORLOSS: tuple(p.id for p in wn.pipes),
+        ParamEnum.PUMP_STATUS: tuple(p.id for p in wn.pumps),
+        ParamEnum.PUMP_SPEED: tuple(p.id for p in wn.pumps),
+        ParamEnum.PUMP_LENGTH: tuple(p.id for p in wn.pumps),
+        ParamEnum.TANK_LEVEL: tuple(t.id for t in wn.tanks),
+        ParamEnum.TANK_ELEVATION: tuple(t.id for t in wn.tanks),
+        ParamEnum.TANK_DIAMETER: tuple(t.id for t in wn.tanks),
+        ParamEnum.VALVE_STATUS: tuple(v.id for v in wn.valves),
+        ParamEnum.VALVE_SETTING: tuple(v.id for v in wn.valves),
+        ParamEnum.VALVE_DIAMETER: tuple(v.id for v in wn.valves),
+        ParamEnum.RESERVOIR_TOTALHEAD: tuple(r.id for r in wn.reservoirs),
+    }
+    return [dataclasses.replace(s, uids=uid_map[s.key]) for s in specs]
 
 
 def featlen_dict(specs: list[FeatureSpec]) -> dict[str, int]:
     return {str(s.key.value): s.length for s in specs}
 
 
-def sample_params(
-    specs: list[FeatureSpec], chunk_size: int, rng: np.random.Generator
-) -> np.ndarray:
-    """Uniform tokens → parameter values, concatenated in spec order
-    (reference batch_update, TokenGeneratorByRange.py:238-562)."""
+# GenOptions field carrying the user-value injection for each parameter key
+# (reference scenegenv7.py's update_*_json argument family, :78-261)
+UPDATE_JSON_FIELD: dict[ParamEnum, str] = {
+    ParamEnum.JUNC_DEMAND: "update_demand_json",
+    ParamEnum.JUNC_ELEVATION: "update_elevation_json",
+    ParamEnum.PIPE_ROUGHNESS: "update_pipe_roughness_json",
+    ParamEnum.PIPE_DIAMETER: "update_pipe_diameter_json",
+    ParamEnum.PIPE_LENGTH: "update_pipe_length_json",
+    ParamEnum.PIPE_MINORLOSS: "update_pipe_minorloss_json",
+    ParamEnum.PUMP_STATUS: "update_pump_init_status_json",
+    ParamEnum.PUMP_SPEED: "update_pump_speed_json",
+    ParamEnum.PUMP_LENGTH: "update_pump_length_json",
+    ParamEnum.TANK_LEVEL: "update_tank_level_json",
+    ParamEnum.TANK_ELEVATION: "update_tank_elevation_json",
+    ParamEnum.TANK_DIAMETER: "update_tank_diameter_json",
+    ParamEnum.VALVE_STATUS: "update_valve_init_status_json",
+    ParamEnum.VALVE_SETTING: "update_valve_setting_json",
+    ParamEnum.VALVE_DIAMETER: "update_valve_diameter_json",
+    ParamEnum.RESERVOIR_TOTALHEAD: "update_res_total_head_json",
+}
+
+
+def parse_injection(json_string: str, uids, length: int):
+    """User-value injection: ``{"uid": value}`` JSON (string or ``@file``).
+
+    Returns ``(mask[length], values[length])``: elements named in the JSON
+    get the fixed value on every scenario; the rest keep their sampled
+    values. This *fixes* the reference's semantics
+    (TokenGeneratorByRange.py:50-72), which replaces the whole block and
+    zero-fills any uid the JSON omits (with only a printed warning) —
+    partial override is what the flag is for.
+
+    Unknown uids raise — a typo should not silently sample instead.
+    """
+    import json as _json
+
+    text = json_string
+    if text.startswith("@"):
+        with open(text[1:]) as f:
+            text = f.read()
+    value_dict = _json.loads(text)
+    index = {u: i for i, u in enumerate(uids)}
+    unknown = [u for u in value_dict if u not in index]
+    if unknown:
+        raise ValueError(f"update_*_json uids not in the network: {unknown}")
+    mask = np.zeros(length, bool)
+    values = np.zeros(length, np.float64)
+    for uid, v in value_dict.items():
+        mask[index[uid]] = True
+        values[index[uid]] = float(v)
+    return mask, values
+
+
+def build_injections(specs: list[FeatureSpec], opts) -> list:
+    """Per-spec (mask, values) overrides from the opts.update_*_json family
+    (None where no injection is configured)."""
     out = []
     for s in specs:
+        field = UPDATE_JSON_FIELD.get(s.key)
+        js = getattr(opts, field, None) if field else None
+        out.append(parse_injection(js, s.uids, s.length) if js else None)
+    return out
+
+
+def sample_params(
+    specs: list[FeatureSpec],
+    chunk_size: int,
+    rng: np.random.Generator,
+    injections: Optional[list] = None,
+) -> np.ndarray:
+    """Uniform tokens → parameter values, concatenated in spec order
+    (reference batch_update, TokenGeneratorByRange.py:238-562).
+
+    ``injections`` (from :func:`build_injections`) pins user-supplied values
+    for named elements after sampling.
+    """
+    out = []
+    for si, s in enumerate(specs):
         tokens = rng.random((chunk_size, s.length))
         if s.elem_lo is not None:  # per-element ranges (valve settings)
             vals = s.elem_lo[None, :] + tokens * (s.elem_hi - s.elem_lo)[None, :]
@@ -234,6 +326,10 @@ def sample_params(
             fn = FORMULAS[s.formula]
             vals = fn(tokens, s.lo, s.hi, ori_vals=s.ori_vals, coords=s.coords,
                       rng=rng)
+        inj = injections[si] if injections else None
+        if inj is not None:
+            mask, fixed = inj
+            vals = np.where(mask[None, :], fixed[None, :], vals)
         out.append(vals)
     if not out:
         return np.zeros((chunk_size, 0))
