@@ -70,6 +70,12 @@ def _add_train_flags(p: argparse.ArgumentParser):
     p.add_argument("--matmul_precision", default=None,
                    choices=["bfloat16", "tensorfloat32", "highest", None],
                    help="XLA default_matmul_precision inside the train step")
+    p.add_argument("--agg_mode", default=None,
+                   choices=["dense", "banded", "padded", None],
+                   help="aggregation layout for the batched template "
+                        "(None = auto: dense small, banded large)")
+    p.add_argument("--band_block", default=None, type=int,
+                   help="banded block-row size (default 256)")
     p.add_argument("--mesh", default=None, type=str, metavar="DP,GP",
                    help="train over a data×graph device mesh, e.g. '4,2' "
                         "(whole-graph shards for small templates, banded "
@@ -153,6 +159,7 @@ def cmd_train(args):
         log_gradient=args.log_gradient,
         matmul_precision=args.matmul_precision,
         epochs_per_dispatch=args.epochs_per_dispatch,
+        agg_mode=args.agg_mode, band_block=args.band_block,
     )
     if args.mesh:
         from gnn_pressure_estimation_tpu.parallel import MeshTrainer, make_mesh
@@ -166,9 +173,11 @@ def cmd_train(args):
         trainer = Trainer(model, cfg, train_ds.stats, train_ds.members[0].template)
     print(f"Model: {args.model}; parameters: {trainer.n_params}")
     if args.model_path:
-        params, _, meta = load_checkpoint(args.model_path, trainer.params)
-        trainer.params = params
-        print(f"resumed from {args.model_path} (epoch {meta['epoch']})")
+        # full-state resume: params + optimizer + epoch/early-stop/scheduler
+        # (the reference reloads weights only, auxil.py:206-220)
+        meta = trainer.restore(args.model_path)
+        print(f"resumed from {args.model_path} (epoch {meta['epoch']}, "
+              f"continuing at {meta['epoch'] + 1})")
 
     logger = make_logger(args.log_method, args.project_name,
                          f"{args.model}_{args.variant}", vars(args))
@@ -225,6 +234,15 @@ def cmd_eval(args):
     if args.device == "cpu":
         import jax
 
+        if args.mesh:
+            need = 1
+            for v in args.mesh.split(","):
+                need *= int(v)
+            flags = os.environ.get("XLA_FLAGS", "")
+            if "xla_force_host_platform_device_count" not in flags:
+                os.environ["XLA_FLAGS"] = (
+                    flags + f" --xla_force_host_platform_device_count={need}"
+                )
         jax.config.update("jax_platforms", "cpu")
     from gnn_pressure_estimation_tpu.data import WDNDataset
     from gnn_pressure_estimation_tpu.evaluation import EvalConfig, Evaluator
@@ -240,6 +258,12 @@ def cmd_eval(args):
     stats = meta.get("stats")
     assert stats is not None, "checkpoint lacks normalization stats"
 
+    # evaluate under the layout the model was trained with (stored in the
+    # checkpoint); explicit flags still override
+    layout = (meta.get("extra") or {}).get("layout") or {}
+    agg_mode = args.agg_mode or layout.get("agg_mode")
+    band_block = args.band_block or layout.get("band_block")
+
     cfg = EvalConfig(
         test_type=args.test_type, num_test_trials=args.num_test_trials,
         batch_size=args.batch_size, mask_rate=args.mask_rate,
@@ -249,6 +273,7 @@ def cmd_eval(args):
         test_input_path=args.test_input_path,
         mean_dmd=args.mean_dmd, std_dmd=args.std_dmd,
         feature=args.feature, removal=args.test_removal,
+        agg_mode=agg_mode, band_block=band_block,
     )
     # params restored without a template keep raw dict form — rebuild via init
     import jax
@@ -289,7 +314,7 @@ def cmd_eval(args):
         )
         tpl = datasets[0].members[0].template
 
-    g1 = tpl.batch(1)
+    g1 = tpl.batch(1, mode=agg_mode, band_block=band_block)
     # g1.n_node covers banded padding (n_pad) when the template is large
     template_params = model.init(
         jax.random.PRNGKey(0), jnp.zeros((g1.n_node, 1)), g1
@@ -298,7 +323,14 @@ def cmd_eval(args):
 
     params = serialization.from_state_dict(template_params, params)
 
-    ev = Evaluator(model, cfg, stats)
+    mesh = None
+    if args.mesh:
+        from gnn_pressure_estimation_tpu.parallel import make_mesh
+
+        dp, gp = (int(v) for v in args.mesh.split(","))
+        mesh = make_mesh(dp=dp, gp=gp)
+        print(f"mesh eval {dp}×{gp}")
+    ev = Evaluator(model, cfg, stats, mesh=mesh)
     loss_dict, metric_dict, sensor_dict = ev.evaluate(params, datasets)
     return 0
 

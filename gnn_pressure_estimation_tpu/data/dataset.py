@@ -281,7 +281,14 @@ class SnapshotLoader:
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
+        self.seed = seed
         self._rng = np.random.default_rng(seed)
+
+    def set_epoch(self, epoch: int):
+        """Derive this epoch's shuffle stream from (seed, epoch) instead of
+        sequential rng state, so a run resumed at epoch k replays the exact
+        batch order an uninterrupted run would use (true-resume support)."""
+        self._rng = np.random.default_rng([self.seed, int(epoch)])
 
     def __iter__(self):
         order_per_member = []

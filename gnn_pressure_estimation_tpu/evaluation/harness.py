@@ -60,15 +60,27 @@ class EvalConfig:
     std_dmd: float = 1.0
     feature: str = "pressure"
     removal: str = "keep_junction"
+    # aggregation-layout overrides, mirroring TrainConfig.agg_mode/band_block:
+    # a model trained banded must evaluate banded (same layout → same
+    # numerics); None = auto like training
+    agg_mode: Optional[str] = None
+    band_block: Optional[int] = None
 
 
 class Evaluator:
-    """Jitted per-trial evaluation over a dataset, with optional sensor set."""
+    """Jitted per-trial evaluation over a dataset, with optional sensor set.
 
-    def __init__(self, model, cfg: EvalConfig, stats: NormStats):
+    ``mesh`` (a ``("data", "graph")`` jax Mesh) runs every forward SPMD over
+    the device mesh with the same partitioning strategies as MeshTrainer —
+    whole-graph shards for small templates, banded halo-exchange node shards
+    for large ones — so noisy large-graph evaluation is no longer
+    single-device."""
+
+    def __init__(self, model, cfg: EvalConfig, stats: NormStats, mesh=None):
         self.model = model
         self.cfg = cfg
         self.stats = stats
+        self.mesh = mesh
         self.criterion = make_criterion(cfg.criterion)
         self._step_cache: dict = {}
         self._fwd_cache: dict = {}
@@ -103,11 +115,26 @@ class Evaluator:
     def _get_fwd(self, template, bs):
         key = (id(template), bs)
         if key not in self._fwd_cache:
-            graph = template.batch(bs)
+            if self.mesh is not None:
+                from gnn_pressure_estimation_tpu.parallel.eval_forward import (
+                    make_mesh_forward,
+                )
 
-            @jax.jit
-            def fwd(params, x_in):
-                return self.model.apply(params, x_in, graph)
+                fwd, graph = make_mesh_forward(
+                    self.model, template, bs, self.mesh,
+                    agg_mode=self.cfg.agg_mode, band_block=self.cfg.band_block,
+                )
+            else:
+                # honor the training layout (a model trained with
+                # --agg_mode banded --band_block 128 must evaluate under
+                # the same layout)
+                graph = template.batch(
+                    bs, mode=self.cfg.agg_mode, band_block=self.cfg.band_block
+                )
+
+                @jax.jit
+                def fwd(params, x_in):
+                    return self.model.apply(params, x_in, graph)
 
             self._fwd_cache[key] = (fwd, graph)
         return self._fwd_cache[key]

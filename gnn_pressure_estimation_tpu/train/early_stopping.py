@@ -25,6 +25,13 @@ class EarlyStopping:
             return a < best - delta
         return a > best + delta
 
+    def state_dict(self) -> dict:
+        return {"best": self.best, "num_bad_epochs": self.num_bad_epochs}
+
+    def load_state_dict(self, state: dict):
+        self.best = state.get("best")
+        self.num_bad_epochs = int(state.get("num_bad_epochs", 0))
+
     def step(self, metric: float) -> bool:
         """Returns True when training should stop."""
         if self.patience == 0:

@@ -146,6 +146,13 @@ class ReduceLROnPlateau:
             return max(lr * self.factor, self.min_lr)
         return lr
 
+    def state_dict(self) -> dict:
+        return {"best": self.best, "num_bad": self.num_bad}
+
+    def load_state_dict(self, state: dict):
+        self.best = float(state.get("best", math.inf))
+        self.num_bad = int(state.get("num_bad", 0))
+
 
 class Trainer:
     """Drives train/val epochs over a :class:`WDNDataset`.
@@ -430,8 +437,9 @@ class Trainer:
             return x, mask
 
         def block(params, opt_state, data_tr, data_val,
-                  perms, valid_tr, valid_val, key_):
-            ekeys = jax.random.split(key_, E)
+                  perms, valid_tr, valid_val, ekeys):
+            # ekeys [E, 2]: one per-epoch key derived by the caller from
+            # (seed, epoch) — block boundaries don't affect the streams
 
             def epoch_body(carry, inp):
                 params, opt_state = carry
@@ -505,12 +513,16 @@ class Trainer:
         return steps, valid
 
     def _fit_fast(self, train_ds, val_ds, log_fn, on_epoch_end,
-                  early, sched, best):
+                  early, sched, best, start_epoch: int = 1):
         """Multi-epoch-dispatch drive of fit() (cfg.epochs_per_dispatch > 1).
 
         Checkpoint/scheduler/early-stop decisions happen at block
         granularity: the params saved for a best epoch inside a block are
         the block-end params (documented trade-off of the fast path).
+
+        Per-epoch shuffles and mask keys are derived from (seed, epoch), not
+        block position, so a resumed run replays the same per-epoch streams
+        regardless of how block boundaries fall.
         """
         cfg = self.cfg
         m_tr, m_val = train_ds.members[0], val_ds.members[0]
@@ -523,25 +535,27 @@ class Trainer:
         data_val = jnp.asarray(m_val.array)
         valid_tr = jnp.asarray(valid_tr)
         valid_val = jnp.asarray(valid_val)
-        rng = np.random.default_rng(cfg.seed)
+        base_key = jax.random.PRNGKey(cfg.seed)
 
         t0 = time.time()
-        epoch = 1
+        epoch = start_epoch
         stop = False
         while epoch <= cfg.epochs and not stop:
             E = min(cfg.epochs_per_dispatch, cfg.epochs - epoch + 1)
             block = self._get_epoch_block(template, bs, steps_tr, steps_val, E)
             perms = np.zeros((E, steps_tr, bs), np.int32)
             for e in range(E):
-                order = rng.permutation(S_tr)
+                order = np.random.default_rng([cfg.seed, epoch + e]).permutation(S_tr)
                 pad = (-len(order)) % (steps_tr * bs)
                 order = np.concatenate([order, np.zeros(pad, np.int64)])
                 perms[e] = order.reshape(steps_tr, bs)
-            key = jax.random.PRNGKey(int(rng.integers(0, 2**31 - 1)))
+            ekeys = jnp.stack(
+                [jax.random.fold_in(base_key, epoch + e) for e in range(E)]
+            )
             (self.params, self.opt_state, trs, vals,
              tr_mets, val_mets) = block(
                 self.params, self.opt_state, data_tr, data_val,
-                jnp.asarray(perms), valid_tr, valid_val, key,
+                jnp.asarray(perms), valid_tr, valid_val, ekeys,
             )
             trs = np.asarray(trs)
             vals = np.asarray(vals)
@@ -552,6 +566,11 @@ class Trainer:
                 tr_loss, val_loss = float(trs[j]), float(vals[j])
                 vm = {mk: float(mv[j]) for mk, mv in val_mets.items()}
                 tm = {mk: float(mv[j]) for mk, mv in tr_mets.items()}
+                stop = early.step(val_loss)
+                if not stop and sched is not None:
+                    new_lr = sched.step(val_loss, get_lr(self.opt_state))
+                    if new_lr != get_lr(self.opt_state):
+                        self.opt_state = set_lr(self.opt_state, new_lr)
                 if val_loss < best["loss"]:
                     best.update({"loss": val_loss, "epoch": ep, "metrics": vm})
                     if cfg.save_path:
@@ -559,29 +578,29 @@ class Trainer:
                             path=self._ckpt_path("best"), params=self.params,
                             opt_state=self.opt_state, epoch=ep, loss=val_loss,
                             metrics=vm, stats=self.stats,
+                            extra=self._resume_extra(early, sched, best),
                         )
                 if ep == 1 or ep % cfg.log_every == 0:
                     mstr = ", ".join(f"{mk}: {mv:.4f}" for mk, mv in vm.items())
                     log_fn(f"Epoch: {ep:03d}, train loss: {tr_loss:.4f}, "
                            f"val_loss: {val_loss:.4f}, {mstr}")
-                    if cfg.save_path and not math.isnan(tr_loss):
-                        save_checkpoint(
-                            path=self._ckpt_path("last"), params=self.params,
-                            opt_state=self.opt_state, epoch=ep, loss=val_loss,
-                            metrics=vm, stats=self.stats,
-                        )
+                if cfg.save_path and not math.isnan(tr_loss) and (
+                        j == E - 1 or ep % cfg.log_every == 0 or stop):
+                    # block-end params are the only ones on the host, so the
+                    # fast path writes 'last' at block ends / log epochs
+                    save_checkpoint(
+                        path=self._ckpt_path("last"), params=self.params,
+                        opt_state=self.opt_state, epoch=ep, loss=val_loss,
+                        metrics=vm, stats=self.stats,
+                        extra=self._resume_extra(early, sched, best),
+                    )
                 if on_epoch_end:
                     on_epoch_end(ep, {"train_loss": tr_loss,
                                       "val_loss": val_loss, **tm, **vm})
-                if early.step(val_loss):
+                if stop:
                     log_fn(f"\n!! No improvement for {cfg.patience} epochs. "
                            "Training stopped!")
-                    stop = True
                     break
-                if sched is not None:
-                    new_lr = sched.step(val_loss, get_lr(self.opt_state))
-                    if new_lr != get_lr(self.opt_state):
-                        self.opt_state = set_lr(self.opt_state, new_lr)
             epoch += E
         best["train_time_s"] = time.time() - t0
         return best
@@ -699,7 +718,6 @@ class Trainer:
             train_ds, cfg.batch_size, shuffle=True, seed=cfg.seed
         )
         val_loader = SnapshotLoader(val_ds, cfg.batch_size, shuffle=False)
-        rng = np.random.default_rng(cfg.seed)
 
         early = EarlyStopping(mode="min", min_delta=cfg.min_delta, patience=cfg.patience)
         sched = (
@@ -724,18 +742,37 @@ class Trainer:
 
         best = {"loss": math.inf, "epoch": 0, "metrics": {}}
 
+        # true resume (fixes the reference's weights-only reload,
+        # auxil.py:206-220): restore() stashes the checkpoint's epoch,
+        # early-stop, scheduler, and best-so-far state; per-epoch randomness
+        # is derived from (seed, epoch) rather than sequential rng state, so
+        # the continuation replays exactly what an uninterrupted run would
+        start_epoch = 1
+        rs = getattr(self, "_resume", None)
+        if rs:
+            start_epoch = int(rs["epoch"]) + 1
+            if rs.get("early"):
+                early.load_state_dict(rs["early"])
+            if sched is not None and rs.get("sched"):
+                sched.load_state_dict(rs["sched"])
+            if rs.get("best"):
+                best.update(rs["best"])
+
         if (cfg.epochs_per_dispatch > 1 and self.supports_fast_fit
                 and len(train_ds.members) == 1 and len(val_ds.members) == 1
                 and train_ds.members[0].template is val_ds.members[0].template
                 and cfg.criterion in ("mse", "mae")
                 and probe is None):
             return self._fit_fast(train_ds, val_ds, log_fn, on_epoch_end,
-                                  early, sched, best)
+                                  early, sched, best, start_epoch)
 
         t0 = time.time()
-        for epoch in range(1, cfg.epochs + 1):
-            tr_loss, tr_mets = self.train_one_epoch(train_loader, rng)
-            val_loss, val_mets = self.eval_one_epoch(val_loader, rng)
+        for epoch in range(start_epoch, cfg.epochs + 1):
+            train_loader.set_epoch(epoch)
+            rng_tr = np.random.default_rng([cfg.seed, epoch, 0])
+            rng_val = np.random.default_rng([cfg.seed, epoch, 1])
+            tr_loss, tr_mets = self.train_one_epoch(train_loader, rng_tr)
+            val_loss, val_mets = self.eval_one_epoch(val_loader, rng_val)
 
             if probe is not None:
                 template, bs, x = probe
@@ -750,6 +787,15 @@ class Trainer:
                 tr_mets = {**tr_mets, "model_update": model_update,
                            "accum_model_update": accum_update}
 
+            # step early-stop/scheduler BEFORE checkpointing, so the saved
+            # resume state is exactly what an uninterrupted run carries into
+            # epoch+1 (post-step) — resuming then continues bit-identically
+            stop = early.step(val_loss)
+            if not stop and sched is not None:
+                new_lr = sched.step(val_loss, get_lr(self.opt_state))
+                if new_lr != get_lr(self.opt_state):
+                    self.opt_state = set_lr(self.opt_state, new_lr)
+
             if val_loss < best["loss"]:
                 best = {"loss": val_loss, "epoch": epoch, "metrics": val_mets}
                 if cfg.save_path:
@@ -761,6 +807,7 @@ class Trainer:
                         loss=val_loss,
                         metrics=val_mets,
                         stats=self.stats,
+                        extra=self._resume_extra(early, sched, best),
                     )
 
             if epoch == 1 or epoch % cfg.log_every == 0:
@@ -769,16 +816,19 @@ class Trainer:
                     f"Epoch: {epoch:03d}, train loss: {tr_loss:.4f}, "
                     f"val_loss: {val_loss:.4f}, {mstr}"
                 )
-                if cfg.save_path and not math.isnan(tr_loss):
-                    save_checkpoint(
-                        path=self._ckpt_path("last"),
-                        params=self.params,
-                        opt_state=self.opt_state,
-                        epoch=epoch,
-                        loss=val_loss,
-                        metrics=val_mets,
-                        stats=self.stats,
-                    )
+            # 'last' is written every epoch (not just log epochs) so an
+            # interrupted run loses at most the in-flight epoch
+            if cfg.save_path and not math.isnan(tr_loss):
+                save_checkpoint(
+                    path=self._ckpt_path("last"),
+                    params=self.params,
+                    opt_state=self.opt_state,
+                    epoch=epoch,
+                    loss=val_loss,
+                    metrics=val_mets,
+                    stats=self.stats,
+                    extra=self._resume_extra(early, sched, best),
+                )
 
             if on_epoch_end:
                 on_epoch_end(epoch, {
@@ -786,16 +836,45 @@ class Trainer:
                     **tr_mets, **val_mets,
                 })
 
-            if early.step(val_loss):
+            if stop:
                 log_fn(f"\n!! No improvement for {cfg.patience} epochs. Training stopped!")
                 break
-            if sched is not None:
-                new_lr = sched.step(val_loss, get_lr(self.opt_state))
-                if new_lr != get_lr(self.opt_state):
-                    self.opt_state = set_lr(self.opt_state, new_lr)
 
         best["train_time_s"] = time.time() - t0
         return best
+
+    def _resume_extra(self, early, sched, best) -> dict:
+        """Serializable continuation state stored in every checkpoint, plus
+        the aggregation layout the model was trained under (so evaluation
+        can default to the same layout)."""
+        return {
+            "resume": {
+                "early": early.state_dict(),
+                "sched": sched.state_dict() if sched is not None else None,
+                "best": {"loss": best["loss"], "epoch": best["epoch"],
+                         "metrics": best.get("metrics", {})},
+            },
+            "layout": {"agg_mode": self.cfg.agg_mode,
+                       "band_block": self.cfg.band_block},
+        }
+
+    def restore(self, path: str, log_fn: Callable[[str], None] = print):
+        """Full-state resume from a checkpoint written by this Trainer:
+        params, optimizer state, epoch counter, early-stop / scheduler /
+        best-so-far state (the reference restores weights only,
+        auxil.py:206-220). Old weights-only checkpoints still load — they
+        just restart bookkeeping from scratch at epoch meta['epoch']+1."""
+        from gnn_pressure_estimation_tpu.train.checkpoint import load_checkpoint
+
+        params, opt_state, meta = load_checkpoint(path, self.params, self.opt_state)
+        self.params = params
+        if opt_state is not None:
+            self.opt_state = opt_state
+        else:
+            log_fn(f"WARNING: {path} has no optimizer state; Adam moments reset")
+        rs = (meta.get("extra") or {}).get("resume") or {}
+        self._resume = {"epoch": meta.get("epoch", 0), **rs}
+        return meta
 
     def _ckpt_path(self, kind: str) -> str:
         import os
