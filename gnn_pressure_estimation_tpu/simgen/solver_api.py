@@ -30,6 +30,9 @@ class SolverResult:
     warn_code: int
     converged: bool
     iterations: int
+    # final link statuses (CLOSED/OPEN/ACTIVE, network_state constants) —
+    # EPANET exposes these via EN_STATUS; useful for auditing valve/CV flips
+    status: np.ndarray = None
 
 
 _BACKEND = {"impl": None}  # lazily resolved: "cpp" | "py"
@@ -93,4 +96,5 @@ def solve(ns: NetworkState, backend: Optional[str] = None) -> SolverResult:
         warn_code=warn,
         converged=raw.converged,
         iterations=raw.iterations,
+        status=raw.status,
     )

@@ -1,16 +1,69 @@
-"""C++ solver component vs the NumPy oracle on randomized networks."""
+"""C++ solver component vs the NumPy oracle on randomized networks.
+
+Cross-check surface (VERDICT r2 weak #6): PRV/PSV/FCV driven through every
+status (ACTIVE/OPEN/CLOSED), closed pumps, multi-reservoir head competition,
+all three headloss models, identical warn codes, and mass/energy conservation
+property checks. Semantics source: EPANET valvestatus/linkstatus
+(reference generator/EPYNET/Executorv7.py:325-424 drives them via the
+toolkit)."""
 
 import numpy as np
 import pytest
 
 from gnn_pressure_estimation_tpu.data.inp import parse_inp
-from gnn_pressure_estimation_tpu.simgen.network_state import build_state
+from gnn_pressure_estimation_tpu.simgen.network_state import (
+    ACTIVE,
+    CLOSED,
+    OPEN,
+    build_state,
+)
 from gnn_pressure_estimation_tpu.simgen.solver_api import solve
 from gnn_pressure_estimation_tpu.simgen import solver_cpp
 
 pytestmark = pytest.mark.skipif(
     not solver_cpp.is_available(), reason="libhydraulic.so not built"
 )
+
+
+def both(ns):
+    """Solve on both RAW backends (ft/cfs/status space); assert
+    result-for-result agreement incl. statuses and warn codes."""
+    from gnn_pressure_estimation_tpu.simgen import solver_py
+
+    rp = solver_py.solve(ns)
+    rc = solver_cpp.solve_raw(ns)
+    assert rc.warn_code == rp.warn_code, (rc.warn_code, rp.warn_code)
+    assert rc.converged == rp.converged
+    np.testing.assert_array_equal(rc.status, rp.status)
+    np.testing.assert_allclose(rc.head, rp.head, rtol=1e-6, atol=1e-4)
+    np.testing.assert_allclose(rc.flow, rp.flow, rtol=1e-4, atol=2e-4)
+    return rp, rc
+
+
+def _valve_net(vtype: str, setting: float, res_head: float = 80.0,
+               down_elev: float = 0.0, demand: float = 8.0,
+               extra: str = "") -> str:
+    """R1 --pipe-- N1 --valve-- N2 --pipe-- N3(demand)."""
+    return f"""
+[JUNCTIONS]
+ N1 5 0
+ N2 {down_elev} 0
+ N3 {down_elev} {demand}
+[RESERVOIRS]
+ R1 {res_head}
+[PIPES]
+ P1 R1 N1 300 250 120 0 Open
+ P2 N2 N3 300 250 120 0 Open
+[VALVES]
+ V1 N1 N2 250 {vtype} {setting} 0
+{extra}
+[OPTIONS]
+ UNITS LPS
+ HEADLOSS H-W
+[TIMES]
+ DURATION 0
+[END]
+"""
 
 
 def make_random_net(rng, n=4, with_pump=True, with_tank=True, with_valve=True):
@@ -67,6 +120,250 @@ def test_cpp_matches_python_oracle(seed):
     np.testing.assert_allclose(rc.head, rp.head, rtol=1e-6, atol=1e-5)
     np.testing.assert_allclose(rc.flow, rp.flow, rtol=1e-4, atol=1e-4)
     np.testing.assert_array_equal(rc.demand, rp.demand)
+
+
+def _valve_idx(ns):
+    (vi,) = np.nonzero(ns.link_type == 2)
+    return int(vi[0])
+
+
+@pytest.mark.parametrize("setting,expect", [
+    (30.0, ACTIVE),   # feasible reduction → regulating
+    (200.0, OPEN),    # setting above achievable downstream head → wide open
+])
+def test_prv_status_transitions(setting, expect):
+    """PRV regulates to its setting, opens when it can't reach it, and both
+    backends agree on the final status and heads."""
+    ns = build_state(parse_inp(_valve_net("PRV", setting)))
+    rp, _ = both(ns)
+    vi = _valve_idx(ns)
+    assert rp.converged
+    assert rp.status[vi] == expect, (rp.status[vi], expect)
+    if expect == ACTIVE:
+        # downstream grade pinned to elevation + setting (ft)
+        np.testing.assert_allclose(
+            rp.head[ns.node2[vi]], ns.elevation[ns.node2[vi]]
+            + ns.valve_setting[vi], atol=1e-3)
+
+
+def test_prv_closes_against_reverse_head():
+    """Downstream head above the PRV setting → valve closes (EPANET
+    valvestatus PRV rule 3). A second reservoir pressurizes N2 from below."""
+    extra = ""
+    txt = _valve_net("PRV", 10.0, res_head=80.0, demand=0.5, extra=extra)
+    # pressurize the downstream side above setting+elev via a tall reservoir
+    txt = txt.replace("[PIPES]", "[PIPES]\n P9 R2 N3 200 300 130 0 Open")
+    txt = txt.replace("[RESERVOIRS]\n R1 80.0", "[RESERVOIRS]\n R1 80.0\n R2 70")
+    ns = build_state(parse_inp(txt))
+    rp, _ = both(ns)
+    vi = _valve_idx(ns)
+    assert rp.status[vi] == CLOSED
+    assert abs(rp.flow[vi]) < 1e-4
+
+
+def _bridge_net(vtype: str, setting: float, h1=60.0, h2=10.0,
+                d1=250.0, l1=300.0) -> str:
+    """R1 --P1-- N1 --valve-- N2 --P2-- R2: flow is a free variable (no
+    fixed demand), the layout EPANET's PSV/FCV regulation is defined on."""
+    return f"""
+[JUNCTIONS]
+ N1 0 0
+ N2 0 0
+[RESERVOIRS]
+ R1 {h1}
+ R2 {h2}
+[PIPES]
+ P1 R1 N1 {l1} {d1} 120 0 Open
+ P2 N2 R2 300 250 120 0 Open
+[VALVES]
+ V1 N1 N2 250 {vtype} {setting} 0
+[OPTIONS]
+ UNITS LPS
+ HEADLOSS H-W
+[TIMES]
+ DURATION 0
+[END]
+"""
+
+
+@pytest.mark.parametrize("setting,d1,expect", [
+    (40.0, 100.0, ACTIVE),  # narrow feed pipe: free flow would drag the
+                            # upstream head below the setting → regulating
+    (1.0, 250.0, OPEN),     # upstream head always above setting → wide open
+])
+def test_psv_status_transitions(setting, d1, expect):
+    ns = build_state(parse_inp(_bridge_net("PSV", setting, d1=d1, l1=1000)))
+    rp, _ = both(ns)
+    vi = _valve_idx(ns)
+    assert rp.converged
+    assert rp.status[vi] == expect
+    if expect == ACTIVE:
+        np.testing.assert_allclose(
+            rp.head[ns.node1[vi]], ns.elevation[ns.node1[vi]]
+            + ns.valve_setting[vi], atol=1e-3)
+
+
+def test_fcv_limits_flow_and_opens_below_capacity():
+    # free two-reservoir flow through fat pipes is >> 3 LPS: clamp
+    ns = build_state(parse_inp(_bridge_net("FCV", 3.0)))
+    rp, _ = both(ns)
+    vi = _valve_idx(ns)
+    assert rp.status[vi] == ACTIVE
+    np.testing.assert_allclose(rp.flow[vi], ns.valve_setting[vi], atol=1e-4)
+    # a setting far above the free flow leaves the valve effectively open
+    ns2 = build_state(parse_inp(_bridge_net("FCV", 500.0)))
+    rp2, _ = both(ns2)
+    assert rp2.status[_valve_idx(ns2)] == OPEN
+    assert rp2.flow[_valve_idx(ns2)] < ns2.valve_setting[_valve_idx(ns2)]
+
+
+def test_closed_pump_grid():
+    """An initially CLOSED pump stays closed; flow reroutes through the
+    parallel pipe; both backends agree (incl. demand delivery)."""
+    rng = np.random.default_rng(12)
+    txt = make_random_net(rng, with_pump=True, with_valve=False)
+    txt = txt.replace("[OPTIONS]", "[STATUS]\n PU1 CLOSED\n[OPTIONS]")
+    # give the grid a second source so demand stays feasible
+    txt = txt.replace("[RESERVOIRS]\n R1 95", "[RESERVOIRS]\n R1 95\n R2 90")
+    txt = txt.replace("[PIPES]", "[PIPES]\n PX R2 N5 150 350 130 0 Open")
+    ns = build_state(parse_inp(txt))
+    rp, _ = both(ns)
+    (pi,) = np.nonzero(ns.link_type == 1)
+    assert rp.status[pi[0]] == CLOSED
+    assert abs(rp.flow[pi[0]]) < 1e-4
+    assert rp.converged
+
+
+def test_multi_reservoir_head_competition():
+    """Three reservoirs at different grades: flow must run downhill through
+    every open pipe, junction grades sit between the extremes, and the two
+    backends agree."""
+    rng = np.random.default_rng(21)
+    txt = make_random_net(rng, with_pump=False, with_valve=False,
+                          with_tank=False)
+    txt = txt.replace("[RESERVOIRS]\n R1 95",
+                      "[RESERVOIRS]\n R1 95\n R2 60\n R3 85")
+    txt = txt.replace(
+        "[PIPES]",
+        "[PIPES]\n PA R2 N7 120 300 130 0 Open\n PB R3 N12 90 280 125 0 Open",
+    )
+    ns = build_state(parse_inp(txt))
+    rp, _ = both(ns)
+    assert rp.converged
+    # energy direction: signed flow follows the head gradient on open pipes
+    for li in np.nonzero(ns.link_type == 0)[0]:
+        if rp.status[li] == CLOSED or abs(rp.flow[li]) < 1e-3:
+            continue
+        dh = rp.head[ns.node1[li]] - rp.head[ns.node2[li]]
+        assert np.sign(dh) == np.sign(rp.flow[li]), (li, dh, rp.flow[li])
+
+
+@pytest.mark.parametrize("seed", [0, 5, 9])
+def test_mass_conservation(seed):
+    """Σ(flow in) − Σ(flow out) == demand at every junction, both backends."""
+    rng = np.random.default_rng(seed)
+    txt = make_random_net(rng, with_pump=(seed != 5), with_valve=(seed != 9))
+    ns = build_state(parse_inp(txt))
+    rp, rc = both(ns)
+    for res in (rp, rc):
+        balance = np.zeros(ns.n_nodes)
+        np.subtract.at(balance, ns.node1, res.flow)
+        np.add.at(balance, ns.node2, res.flow)
+        nj = ns.n_junctions
+        np.testing.assert_allclose(balance[:nj], ns.demand[:nj], atol=5e-4)
+
+
+def test_energy_conservation_hw():
+    """On every flowing H-W pipe, the solved grade drop equals the
+    Hazen-Williams headloss recomputed from the solved flow."""
+    rng = np.random.default_rng(33)
+    txt = make_random_net(rng, with_pump=False, with_valve=False,
+                          with_tank=False)
+    ns = build_state(parse_inp(txt))
+    rp, _ = both(ns)
+    assert rp.converged
+    for li in np.nonzero(ns.link_type == 0)[0]:
+        q = rp.flow[li]
+        if rp.status[li] == CLOSED or abs(q) < 1e-3:
+            continue
+        # EPANET H-W: h = 4.727 C^-1.852 d^-4.871 L q^1.852 (+ minor loss)
+        r = 4.727 * ns.roughness[li] ** -1.852 * ns.diameter[li] ** -4.871 \
+            * ns.length[li]
+        ml = 0.02517 * ns.minor_loss[li] / ns.diameter[li] ** 4
+        h = np.sign(q) * (r * abs(q) ** 1.852 + ml * q * q)
+        dh = rp.head[ns.node1[li]] - rp.head[ns.node2[li]]
+        np.testing.assert_allclose(dh, h, rtol=5e-3, atol=2e-3)
+
+
+def test_status_flip_regression_check_valve():
+    """A CV pipe oriented against the favorable gradient must end CLOSED
+    after the solver's status iteration (not oscillate), identically on
+    both backends, and resolving is idempotent."""
+    txt = """
+[JUNCTIONS]
+ N1 0 5
+[RESERVOIRS]
+ R1 50
+ R2 80
+[PIPES]
+ P1 R1 N1 200 250 120 0 Open
+ P2 N1 R2 200 250 120 0 CV
+[OPTIONS]
+ UNITS LPS
+ HEADLOSS H-W
+[TIMES]
+ DURATION 0
+[END]
+"""
+    # P2 is a check valve permitting N1→R2 only, but R2's grade is higher:
+    # the initial open guess carries reverse flow and must flip to CLOSED
+    ns = build_state(parse_inp(txt))
+    rp, rc = both(ns)
+    assert rp.converged
+    assert rp.status[1] == CLOSED
+    assert abs(rp.flow[1]) < 1e-4
+    from gnn_pressure_estimation_tpu.simgen import solver_py
+
+    rp2 = solver_py.solve(ns)
+    np.testing.assert_array_equal(rp2.status, rp.status)
+    np.testing.assert_allclose(rp2.head, rp.head, rtol=0, atol=0)
+
+
+def test_warn_codes_match_on_illposed_net():
+    """A junction islanded behind closed pipes: both backends must report
+    the same non-zero warn code and the same converged flag."""
+    txt = """
+[JUNCTIONS]
+ N1 0 2
+ N2 0 2
+[RESERVOIRS]
+ R1 50
+[PIPES]
+ P1 R1 N1 200 250 120 0 Open
+ P2 N1 N2 200 250 120 0 Closed
+[OPTIONS]
+ UNITS LPS
+ HEADLOSS H-W
+[TIMES]
+ DURATION 0
+[END]
+"""
+    ns = build_state(parse_inp(txt))
+    rp = solve(ns, backend="py")
+    rc = solve(ns, backend="cpp")
+    assert rp.warn_code == rc.warn_code
+    assert rp.warn_code != 0
+    assert rp.converged == rc.converged
+
+
+def test_gpv_simplification_consistent():
+    """The documented GPV-as-open simplification (solver_py.py:238-242)
+    behaves identically on both backends and keeps the net solvable."""
+    txt = _valve_net("GPV", 1.0)
+    ns = build_state(parse_inp(txt))
+    rp, _ = both(ns)
+    assert rp.converged
+    assert np.isfinite(rp.head).all() and np.isfinite(rp.flow).all()
 
 
 @pytest.mark.parametrize("model", ["H-W", "D-W", "C-M"])
