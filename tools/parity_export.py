@@ -71,6 +71,17 @@ def cmd_export(args):
     tpl, graph, x, model, params, und = _build_fixture(
         args.num_blocks, args.nc, args.nodes, args.batch, args.seed
     )
+    if getattr(args, "ckpt", None):
+        # export a real trained checkpoint's weights instead of a fresh init
+        # (GATRes weights are graph-size agnostic, so any fixture graph works;
+        # --num_blocks/--nc must match the checkpointed architecture)
+        from flax import serialization
+
+        from gnn_pressure_estimation_tpu.train.checkpoint import load_checkpoint
+
+        raw, _, meta = load_checkpoint(args.ckpt)
+        params = serialization.from_state_dict(params, raw)
+        print(f"using weights from {args.ckpt} (epoch {meta.get('epoch')})")
     out, state = model.apply(
         params, jnp.asarray(x), graph, capture_intermediates=True, mutable=["intermediates"]
     )
@@ -260,6 +271,9 @@ if __name__ == "__main__":
             p.add_argument("--nodes", type=int, default=60)
             p.add_argument("--batch", type=int, default=2)
             p.add_argument("--seed", type=int, default=0)
+            p.add_argument("--ckpt", default=None,
+                           help="export this trained checkpoint's weights "
+                                "(must match --num_blocks/--nc)")
         if name == "compare":
             p.add_argument("--atol", type=float, default=1e-3)
     a = ap.parse_args()
