@@ -253,7 +253,14 @@ int hyd_solve(
             break;
           }
           if (st == ST_ACTIVE && vt == V_PBV) { p[k] = CBIG; y[k] = CBIG * valve_setting[k]; break; }
-          if (st == ST_ACTIVE && vt == V_FCV) { p[k] = 0.0; y[k] = q[k] - valve_setting[k]; break; }
+          if (st == ST_ACTIVE && vt == V_FCV) {
+            // EPANET fcvcoeff: fixed-flow injection through a tiny
+            // conductance (q_new = setting + dh/CBIG) so junction
+            // continuity stays exact even for an infeasible setting
+            p[k] = 1.0 / CBIG;
+            y[k] = q[k] - valve_setting[k];
+            break;
+          }
           double K = (vt == V_TCV && st == ST_ACTIVE) ? valve_setting[k] : minor_loss[k];
           double m = 0.02517 * K / std::pow(std::max(diameter[k], 1e-6), 4);
           double grad = std::max(2.0 * m * qa, CSMALL);

@@ -229,8 +229,14 @@ def solve(ns: NetworkState, max_iter: int | None = None, accuracy: float | None 
                 y[li] = CBIG * ns.valve_setting[li]
                 continue
             if st == ACTIVE and vt == FCV:
-                p[li] = 0.0
-                y[li] = q[li] - ns.valve_setting[li]  # q_new = setting
+                # EPANET fcvcoeff: fixed-flow injection with a *tiny*
+                # conductance (q_new = setting + dh/CBIG) rather than an
+                # exact flow constraint — keeps junction continuity exact
+                # even when the setting is infeasible against a fixed
+                # demand (the head difference then blows up and warn 6 /
+                # the pressure plausibility filters flag the scene)
+                p[li] = 1.0 / CBIG
+                y[li] = q[li] - ns.valve_setting[li]
                 continue
             # OPEN valve (or TCV active = throttling loss, GPV ~ open):
             # h = m·q|q| with m from the loss coefficient; lossless open

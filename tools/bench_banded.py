@@ -61,6 +61,12 @@ def main():
     ap.add_argument("--net", default="inputs/bigtown.inp")
     ap.add_argument("--blk", type=int, nargs="+", default=[128])
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--preset", default="both", choices=["small", "large", "both"])
+    ap.add_argument("--impl", nargs="+", default=None,
+                    help="attention impls to sweep (default: preset-specific)")
+    ap.add_argument("--acc", type=int, nargs="+", default=[None],
+                    help="GNN_TPU_BAND_ACC values to sweep: 0 = v2 windowed-dx "
+                         "backward, 1 = v3 sliding-accumulator backward")
     args = ap.parse_args()
 
     wn = parse_inp(args.net)
@@ -74,18 +80,28 @@ def main():
         print(f"{tag:32s} BLK={blk}: {dt*1e3:6.1f} ms  "
               f"{eps/1e6:6.1f}M edges/s  loss={loss:.4f}", flush=True)
 
-    for blk in args.blk:
-        for impl in ("softmax", "band_factored"):
-            run(f"small-b8-{impl}",
-                GATRes(num_blocks=15, channels=32, attn_impl=impl), 8, blk, 15,
-                iters=args.iters)
-        run("small-b8-band_factored-bf16",
-            GATRes(num_blocks=15, channels=32, attn_impl="band_factored",
-                   attn_dtype=jnp.bfloat16), 8, blk, 15, iters=args.iters)
-        for impl in ("softmax", "band_factored"):
-            run(f"large-b4-{impl}",
-                GATRes(num_blocks=25, channels=128, attn_impl=impl), 4,
-                max(blk, 256), 25, iters=max(args.iters // 2, 3))
+    for acc in args.acc:
+        acc_tag = ""
+        if acc is not None:
+            os.environ["GNN_TPU_BAND_ACC"] = str(acc)
+            acc_tag = f"-v{2 + acc}"
+        for blk in args.blk:
+            if args.preset in ("small", "both"):
+                for impl in args.impl or ("softmax", "band_factored"):
+                    run(f"small-b8-{impl}{acc_tag}",
+                        GATRes(num_blocks=15, channels=32, attn_impl=impl),
+                        8, blk, 15, iters=args.iters)
+                if not args.impl:
+                    run(f"small-b8-band_factored-bf16{acc_tag}",
+                        GATRes(num_blocks=15, channels=32,
+                               attn_impl="band_factored",
+                               attn_dtype=jnp.bfloat16), 8, blk, 15,
+                        iters=args.iters)
+            if args.preset in ("large", "both"):
+                for impl in args.impl or ("softmax", "band_factored"):
+                    run(f"large-b4-{impl}{acc_tag}",
+                        GATRes(num_blocks=25, channels=128, attn_impl=impl),
+                        4, blk, 25, iters=max(args.iters // 2, 3))
 
 
 if __name__ == "__main__":
