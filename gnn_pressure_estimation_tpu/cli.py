@@ -39,6 +39,10 @@ def _add_train_flags(p: argparse.ArgumentParser):
     p.add_argument("--norm_type", default=None, choices=["znorm", "minmax", "unused", None],
                    help="override the model preset's normalization")
     p.add_argument("--num_trains", default=None, type=int)
+    p.add_argument("--use_data_edge_attrs", default=None, type=str,
+                   help="override the preset's edge attributes: "
+                        "'diameter', 'length', 'diameter,length', or 'none' "
+                        "(reference train.py:592)")
     p.add_argument("--batch_size", default=8, type=int)
     p.add_argument("--train_val_removal", default="keep_junction",
                    choices=["keep_all", "keep_list", "keep_junction", "reservoir", "tank"])
@@ -96,11 +100,27 @@ def _add_train_flags(p: argparse.ArgumentParser):
                         "on the test split (reference train.py:524-530)")
 
 
+def _edge_attrs(args, preset):
+    """Preset edge attributes, overridable from the CLI
+    (reference --use_data_edge_attrs, train.py:592)."""
+    raw = getattr(args, "use_data_edge_attrs", None)
+    if raw is None:
+        return preset.edge_attrs
+    raw = raw.strip().lower()
+    if raw in ("", "none"):
+        return None
+    attrs = tuple(a.strip() for a in raw.split(",") if a.strip())
+    for a in attrs:
+        if a not in ("diameter", "length"):
+            sys.exit(f"unsupported edge attribute {a!r} (diameter|length)")
+    return attrs
+
+
 def _load_datasets(args, preset):
     from gnn_pressure_estimation_tpu.data import WDNDataset
 
     norm_type = args.norm_type or preset.norm_type
-    edge_attrs = preset.edge_attrs
+    edge_attrs = _edge_attrs(args, preset)
     train_ds = WDNDataset(
         args.dataset_paths, args.input_paths, feature=args.feature,
         from_set="train", num_records=args.num_trains,
@@ -217,7 +237,7 @@ def cmd_train(args):
         test_ds = WDNDataset(
             args.dataset_paths, args.input_paths, feature=args.feature,
             from_set="test", removal=args.train_val_removal,
-            edge_attrs=preset.edge_attrs, norm_type=norm_type,
+            edge_attrs=_edge_attrs(args, preset), norm_type=norm_type,
             stats=train_ds.stats,
         )
         ecfg = EvalConfig(
@@ -252,6 +272,7 @@ def cmd_eval(args):
 
     model, preset = select_model(args.model)
     norm_type = args.norm_type or preset.norm_type
+    edge_attrs = _edge_attrs(args, preset)
     if not args.model_path:
         sys.exit("eval requires --model_path (a trained checkpoint)")
     params, _, meta = load_checkpoint(args.model_path)
@@ -286,7 +307,8 @@ def cmd_eval(args):
             test_ds = stacked_dataset(
                 args.test_data_path, args.test_input_path, stats,
                 feature=args.feature, removal=args.test_removal,
-                edge_attrs=preset.edge_attrs, norm_type=norm_type,
+                edge_attrs=edge_attrs, norm_type=norm_type,
+                num_tests=args.num_tests,
             )
         elif args.from_set == "inp":
             # single fresh noise-free simulation of the INP
@@ -296,21 +318,21 @@ def cmd_eval(args):
             test_ds = NoisyWDNDataset(
                 [args.test_input_path], feature=args.feature,
                 removal=args.test_removal, stats=stats,
-                edge_attrs=preset.edge_attrs, norm_type=norm_type,
+                edge_attrs=edge_attrs, norm_type=norm_type,
                 mean_dmd=0.0, std_dmd=0.0,
             )
         else:
             test_ds = WDNDataset(
                 [args.test_data_path], [args.test_input_path],
                 feature=args.feature, from_set=args.from_set,
-                removal=args.test_removal, edge_attrs=preset.edge_attrs,
+                removal=args.test_removal, edge_attrs=edge_attrs,
                 norm_type=norm_type, stats=stats,
             )
         datasets = test_ds
         tpl = test_ds.members[0].template
     else:
         datasets = make_noisy_scenes(
-            [args.test_input_path], cfg, stats, preset.edge_attrs, norm_type
+            [args.test_input_path], cfg, stats, edge_attrs, norm_type
         )
         tpl = datasets[0].members[0].template
 
@@ -400,6 +422,9 @@ def main(argv=None):
                         choices=["keep_all", "keep_list", "keep_junction",
                                  "reservoir", "tank"])
     p_eval.add_argument("--num_test_trials", default=10, type=int)
+    p_eval.add_argument("--num_tests", default=None, type=int,
+                        help="cap the stacked 'all' evaluation set at this "
+                             "many records (reference evaluation.py:923)")
     p_eval.add_argument("--use_same_mask", action="store_true")
     p_eval.add_argument("--gpu_warmup_times", default=10, type=int)
     p_eval.add_argument("--mean_dmd", default=0.1, type=float)

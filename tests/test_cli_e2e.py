@@ -51,3 +51,60 @@ def test_cli_full_workflow(tmp_path):
                  "--mask_rate", "0.5", "--mean_dmd", "0.05",
                  "--std_dmd", "0.1", "--device", "cpu",
                  "--gpu_warmup_times", "0"]) == 0
+
+def test_edge_attr_override_parsing():
+    """--use_data_edge_attrs maps CLI strings onto the preset contract
+    (reference train.py:592: 'diameter| length| None')."""
+    import pytest
+
+    from gnn_pressure_estimation_tpu.cli import _edge_attrs
+    from gnn_pressure_estimation_tpu.models import select_model
+
+    class A:
+        use_data_edge_attrs = None
+
+    _, preset = select_model("mgcn")
+    assert _edge_attrs(A(), preset) == preset.edge_attrs  # None = preset
+    A.use_data_edge_attrs = "none"
+    assert _edge_attrs(A(), preset) is None
+    A.use_data_edge_attrs = "diameter"
+    assert _edge_attrs(A(), preset) == ("diameter",)
+    A.use_data_edge_attrs = "diameter, length"
+    assert _edge_attrs(A(), preset) == ("diameter", "length")
+    A.use_data_edge_attrs = "bogus"
+    with pytest.raises(SystemExit):
+        _edge_attrs(A(), preset)
+
+
+def test_eval_from_set_all_num_tests_cap(tmp_path, capsys):
+    """from_set=all stacks test+train+valid capped at --num_tests
+    (reference get_stacked_set2 + --num_tests, evaluation.py:510,923)."""
+    d = str(tmp_path)
+    inp, ini, ckdir = f"{d}/net.inp", f"{d}/net.ini", f"{d}/ck"
+    assert main(["netgen", "--junctions", "16", "--reservoirs", "1",
+                 "--tanks", "0", "--pumps", "1", "--valves", "0",
+                 "--out", inp, "--seed", "5"]) == 0
+    assert main(["mkconfig", "--wn_inp_path", inp, "--out", ini,
+                 "--num_scenarios", "12"]) == 0
+    cp = configparser.ConfigParser()
+    cp.read(ini)
+    cp.set("general", "storage_dir", f"{d}/data")
+    with open(ini, "w") as fh:
+        cp.write(fh)
+    assert main(["generate", "--config", ini, "--executors", "1",
+                 "--batch_size", "4", "--gen_demand",
+                 "--gen_res_total_head"]) == 0
+    assert main(["train", "--model", "gatres_small",
+                 "--dataset_paths", f"{d}/data.zip", "--input_paths", inp,
+                 "--epochs", "1", "--batch_size", "2", "--mask_rate", "0.75",
+                 "--save_path", ckdir, "--device", "cpu"]) == 0
+    ck = [f for f in os.listdir(ckdir) if f.startswith("best_")][0]
+    assert main(["eval", "--model", "gatres_small",
+                 "--model_path", os.path.join(ckdir, ck),
+                 "--test_data_path", f"{d}/data.zip",
+                 "--test_input_path", inp, "--from_set", "all",
+                 "--num_tests", "5", "--num_test_trials", "1",
+                 "--batch_size", "2", "--mask_rate", "0.75",
+                 "--device", "cpu", "--gpu_warmup_times", "0"]) == 0
+    out = capsys.readouterr().out
+    assert "average result of 1 runs" in out
