@@ -74,6 +74,11 @@ def _add_train_flags(p: argparse.ArgumentParser):
     p.add_argument("--matmul_precision", default=None,
                    choices=["bfloat16", "tensorfloat32", "highest", None],
                    help="XLA default_matmul_precision inside the train step")
+    p.add_argument("--gate_dtype", default=None,
+                   choices=["float32", "bfloat16", None],
+                   help="storage dtype of the factored-attention 0/1 gate "
+                        "matrix (GATRes; default bfloat16 — lossless, halves "
+                        "its HBM bytes; float32 restores round-2 behavior)")
     p.add_argument("--agg_mode", default=None,
                    choices=["dense", "banded", "padded", None],
                    help="aggregation layout for the batched template "
@@ -165,6 +170,15 @@ def cmd_train(args):
 
         dtype = jnp.bfloat16
     model, preset = select_model(args.model, dtype=dtype)
+    if args.gate_dtype is not None:
+        import jax.numpy as jnp
+
+        if "gate_dtype" not in getattr(model, "__dataclass_fields__", {}):
+            raise SystemExit(f"model '{args.model}' has no gate_dtype knob")
+        model = model.clone(
+            gate_dtype=jnp.float32 if args.gate_dtype == "float32"
+            else jnp.bfloat16
+        )
     train_ds, val_ds, norm_type = _load_datasets(args, preset)
 
     cfg = TrainConfig(

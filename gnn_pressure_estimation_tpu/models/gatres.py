@@ -31,6 +31,7 @@ class GATResBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
     attn_dtype: jnp.dtype = None
     attn_impl: str = "softmax"
+    gate_dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x: jax.Array, graph: BatchedGraph) -> jax.Array:
@@ -38,10 +39,12 @@ class GATResBlock(nn.Module):
         x0 = x
         x = nn.relu(GATConv(nc, heads=2, concat=True, dtype=self.dtype,
                             attn_dtype=self.attn_dtype,
-                            attn_impl=self.attn_impl)(x, graph))
+                            attn_impl=self.attn_impl,
+                            gate_dtype=self.gate_dtype)(x, graph))
         x = GATConv(nc, heads=1, concat=False, dtype=self.dtype,
                     attn_dtype=self.attn_dtype,
-                    attn_impl=self.attn_impl)(x, graph)
+                    attn_impl=self.attn_impl,
+                    gate_dtype=self.gate_dtype)(x, graph)
         x = SimpleMeanConv()(x, graph) + x0
         return nn.relu(x)
 
@@ -62,6 +65,9 @@ class GATRes(nn.Module):
     dtype: jnp.dtype = jnp.float32
     attn_dtype: jnp.dtype = None
     attn_impl: str = "softmax"
+    # storage dtype of the factored path's 0/1 gate matrix (exact in bf16;
+    # jnp.float32 restores the round-2 all-f32 behavior — see layers.GATConv)
+    gate_dtype: jnp.dtype = jnp.bfloat16
     remat: bool = False
 
     @nn.compact
@@ -74,6 +80,7 @@ class GATRes(nn.Module):
             x = block_cls(self.channels, dtype=self.dtype,
                           attn_dtype=self.attn_dtype,
                           attn_impl=self.attn_impl,
+                          gate_dtype=self.gate_dtype,
                           name=f"block_{i}")(x, graph)
         x = nn.Dense(self.out_channels, kernel_init=glorot, name="lin1")(x)
         return x

@@ -124,6 +124,13 @@ class GATConv(nn.Module):
     # BASELINE.md).  "band_factored" opts the banded branch in anyway
     # (exact; ties softmax only with attn_dtype=bfloat16 stores).
     attn_impl: str = "softmax"
+    # Storage dtype for the 0/1 gate matrix P on the "factored" path.  P's
+    # values are exactly representable in bfloat16, so the default halves
+    # the dominant [B,n,n,H] HBM traffic of the (memory-bound) factored step
+    # losslessly: the mixed bf16×f32 dot_general consumes the bf16 operand
+    # natively (no materialized upcast — verified in the jaxpr) and
+    # accumulates in f32.  None keeps P in the attention store dtype.
+    gate_dtype: Optional[jnp.dtype] = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x: jax.Array, graph: BatchedGraph) -> jax.Array:
@@ -207,13 +214,14 @@ class GATConv(nn.Module):
                 # 0/1 sign gate (zero-gradient: compare output is
                 # nondifferentiable, so autodiff never transposes through P)
                 s = a_d[:, :, None, :] + a_s[:, None, :, :]
-                P = jnp.where(mask & (s >= 0), 1.0, 0.0).astype(store)
+                gate = self.gate_dtype or store
+                P = jnp.where(mask & (s >= 0), 1.0, 0.0).astype(gate)
                 ones = jnp.ones(xp_b.shape[:-1] + (1,), xp_b.dtype)
                 xa = jnp.concatenate([xp_b, ones], axis=-1)        # [B,j,H,C+1]
                 vx = (v[..., None] * xa).astype(store)
                 qx = (q[..., None] * xa).astype(store)
                 t_adj = jnp.einsum(
-                    "ij,bjhc->bihc", graph.adj_sl_mask.astype(store), qx,
+                    "ij,bjhc->bihc", graph.adj_sl_mask.astype(gate), qx,
                     preferred_element_type=jnp.float32,
                 )
                 t_p = jnp.einsum(

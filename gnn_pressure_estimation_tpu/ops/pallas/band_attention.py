@@ -347,7 +347,7 @@ def make_band_attention_dma(
             pl.BlockSpec((1, 1, BLK, H), lambda i, b: (i, b, 0, 0)),
             pl.BlockSpec((1, 1, H, W_pad), lambda i, b: (i, b, 0, 0)),
             pl.BlockSpec((1, BLK, W_pad), lambda i, b: (i, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),      # x_ext stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),      # x_ext stays in HBM
         ]
 
     def _scratch(HC):
@@ -623,7 +623,7 @@ def make_band_attention_acc(
             pl.BlockSpec((1, 1, BLK, H), lambda b, i: (i, b, 0, 0)),
             pl.BlockSpec((1, 1, H, W_pad), lambda b, i: (i, b, 0, 0)),
             pl.BlockSpec((1, BLK, W_pad), lambda b, i: (i, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ]
 
     def _build_bwd(mx):
@@ -641,7 +641,7 @@ def make_band_attention_acc(
                 out_specs=[
                     pl.BlockSpec((1, 1, BLK, H), lambda b, i: (i, b, 0, 0)),
                     pl.BlockSpec((1, 1, H, W_pad), lambda b, i: (i, b, 0, 0)),
-                    pl.BlockSpec(memory_space=pltpu.ANY),
+                    pl.BlockSpec(memory_space=pl.ANY),
                 ],
                 out_shape=[
                     jax.ShapeDtypeStruct((nB, B, BLK, H), jnp.float32),

@@ -59,6 +59,33 @@ def test_gatconv_attn_impls_match_softmax(rng):
                                        rtol=1e-4, atol=1e-5, err_msg=impl)
 
 
+def test_factored_bf16_gate_is_lossless(rng):
+    """The 0/1 gate matrix P of the factored path is exactly representable
+    in bfloat16, so gate_dtype=bf16 (the default — halves the dominant n²
+    HBM bytes) must reproduce the f32-gate forward and gradients to fp
+    rounding of the accumulating dot (models/layers.py gate_dtype)."""
+    tpl = random_graph(rng, n=24, extra_edges=16)
+    g = tpl.batch(2)
+    x = jnp.asarray(rng.standard_normal((48, 6)).astype(np.float32))
+
+    def run(gate_dtype):
+        layer = layers.GATConv(out_channels=4, heads=2, concat=True,
+                               attn_impl="factored", gate_dtype=gate_dtype)
+        params = layer.init(jax.random.PRNGKey(3), x, g)
+        out = layer.apply(params, x, g)
+        grads = jax.grad(
+            lambda p: jnp.sum(jnp.tanh(layer.apply(p, x, g)))
+        )(params)
+        return np.asarray(out), grads
+
+    out_f32, g_f32 = run(None)
+    out_bf, g_bf = run(jnp.bfloat16)
+    np.testing.assert_allclose(out_bf, out_f32, rtol=1e-6, atol=1e-6)
+    for ka, kb in zip(jax.tree.leaves(g_bf), jax.tree.leaves(g_f32)):
+        np.testing.assert_allclose(np.asarray(ka), np.asarray(kb),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_mean_conv(rng):
     tpl = random_graph(rng, n=12, extra_edges=5)
     g = tpl.batch(2)

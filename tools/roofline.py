@@ -40,6 +40,10 @@ def main():
     ap.add_argument("--attn-impl", default="softmax",
                     choices=["softmax", "onepass", "factored"],
                     help="dense-path attention implementation (GATRes)")
+    ap.add_argument("--gate-dtype", default=None,
+                    choices=[None, "float32", "bfloat16"],
+                    help="storage dtype of the factored path's 0/1 gate "
+                         "matrix (model default: bfloat16, lossless)")
     ap.add_argument("--agg-mode", default=None, choices=[None, "dense", "banded", "padded"],
                     help="aggregation mode (default: template-size heuristic)")
     ap.add_argument("--band-block", default=None, type=int,
@@ -76,6 +80,10 @@ def main():
         overrides["attn_dtype"] = jnp.bfloat16
     if args.attn_impl != "softmax":
         overrides["attn_impl"] = args.attn_impl
+    if args.gate_dtype:
+        overrides["gate_dtype"] = (
+            jnp.float32 if args.gate_dtype == "float32" else jnp.bfloat16
+        )
     if overrides:
         model = model.clone(**overrides)
     cfg = TrainConfig(batch_size=args.batch, mask_rate=0.95, criterion="mse",
@@ -117,7 +125,9 @@ def main():
     bound = "memory" if t_mem >= t_comp else "compute"
     report = {
         "model": args.model,
-        "variant": args.attn_impl + ("+attn_bf16" if args.attn_dtype else ""),
+        "variant": args.attn_impl
+        + ("+attn_bf16" if args.attn_dtype else "")
+        + (f"+gate_{args.gate_dtype}" if args.gate_dtype else ""),
         "batch": bs,
         "n_node": tpl.n_node,
         "n_edge": tpl.n_edge,
