@@ -79,6 +79,10 @@ def _add_train_flags(p: argparse.ArgumentParser):
                    help="storage dtype of the factored-attention 0/1 gate "
                         "matrix (GATRes; default bfloat16 — lossless, halves "
                         "its HBM bytes; float32 restores round-2 behavior)")
+    p.add_argument("--attn_impl", default=None,
+                   choices=["softmax", "onepass", "factored", None],
+                   help="dense-path attention implementation override for "
+                        "models with the knob (GATRes preset: factored)")
     p.add_argument("--agg_mode", default=None,
                    choices=["dense", "banded", "padded", None],
                    help="aggregation layout for the batched template "
@@ -179,6 +183,10 @@ def cmd_train(args):
             gate_dtype=jnp.float32 if args.gate_dtype == "float32"
             else jnp.bfloat16
         )
+    if args.attn_impl is not None:
+        if "attn_impl" not in getattr(model, "__dataclass_fields__", {}):
+            raise SystemExit(f"model '{args.model}' has no attn_impl knob")
+        model = model.clone(attn_impl=args.attn_impl)
     train_ds, val_ds, norm_type = _load_datasets(args, preset)
 
     cfg = TrainConfig(

@@ -294,6 +294,18 @@ class GraphTemplate:
             dense_ops["fused_attn"] = make_fused_attention(
                 d0["adj_sl_mask"], negative_slope=0.2
             )
+        if mode == "dense" and os.environ.get("GNN_TPU_FUSED_FACTORED", "0") == "1":
+            # opt-in (round 3): fused kernel for the factored rewrite — the
+            # 0/1 gate stays in VMEM instead of round-tripping HBM as the
+            # two dot operands; slope-independent, zero-gradient gate
+            from gnn_pressure_estimation_tpu.ops.pallas.graph_attention import (
+                make_fused_factored,
+            )
+
+            d0 = self.dense_operators()
+            dense_ops["fused_factored"] = make_fused_factored(
+                np.asarray(d0["adj_sl_mask"])
+            )
         if mode == "banded":
             bl = self.band_layout(band_block)
             band_attn = band_attn_dma = None
@@ -468,7 +480,8 @@ class GraphTemplate:
         "band_inv_perm",
     ],
     meta_fields=["n_node", "n_edge", "n_graph", "nodes_per_graph", "axis_name",
-                 "gather_dp", "gather_dp_sl", "fused_attn", "band_attn",
+                 "gather_dp", "gather_dp_sl", "fused_attn", "fused_factored",
+                 "band_attn",
                  "band_attn_dma", "band_win_start", "band_W", "band_n_pad"],
 )
 @dataclasses.dataclass(frozen=True)
@@ -536,6 +549,9 @@ class BatchedGraph:
     # fused masked-attention kernel (ops/pallas/graph_attention.py), built
     # for dense-mode graphs; static (meta) like the padded gathers
     fused_attn: Optional[Any] = None
+    # fused factored-rewrite aggregation kernel (make_fused_factored):
+    # (a_d, a_s, rhs_v, rhs_q) -> (P@rhs_v, (M-P)@rhs_q), gate VMEM-only
+    fused_factored: Optional[Any] = None
     # fused banded-attention kernel (ops/pallas/band_attention.py), built
     # for banded-mode graphs; static (meta) like fused_attn
     band_attn: Optional[Any] = None

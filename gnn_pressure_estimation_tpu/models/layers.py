@@ -213,25 +213,40 @@ class GATConv(nn.Module):
                 q = jnp.exp(al * a_s - cs)
                 # 0/1 sign gate (zero-gradient: compare output is
                 # nondifferentiable, so autodiff never transposes through P)
-                s = a_d[:, :, None, :] + a_s[:, None, :, :]
-                gate = self.gate_dtype or store
-                P = jnp.where(mask & (s >= 0), 1.0, 0.0).astype(gate)
                 ones = jnp.ones(xp_b.shape[:-1] + (1,), xp_b.dtype)
                 xa = jnp.concatenate([xp_b, ones], axis=-1)        # [B,j,H,C+1]
-                vx = (v[..., None] * xa).astype(store)
-                qx = (q[..., None] * xa).astype(store)
-                t_adj = jnp.einsum(
-                    "ij,bjhc->bihc", graph.adj_sl_mask.astype(gate), qx,
-                    preferred_element_type=jnp.float32,
-                )
-                t_p = jnp.einsum(
-                    "bijh,bjhc->bihc", P, jnp.concatenate([vx, qx], axis=-1),
-                    preferred_element_type=jnp.float32,
-                )
-                t_pv, t_pq = t_p[..., : C + 1], t_p[..., C + 1:]
-                outz = u[..., None] * t_pv + p[..., None] * (t_adj - t_pq)
-                out = (outz[..., :C] / outz[..., C:]).astype(self.dtype)
-                out = out.reshape(-1, H, C)
+                if graph.fused_factored is not None:
+                    # Pallas kernel: the 0/1 gate never leaves VMEM; the
+                    # kernel returns t_pv = P@vx and t_nq = (M−P)@qx directly
+                    vx = (v[..., None] * xa).transpose(0, 2, 1, 3)  # [B,H,j,D]
+                    qx = (q[..., None] * xa).transpose(0, 2, 1, 3)
+                    t_pv, t_nq = graph.fused_factored(
+                        a_d, a_s.transpose(0, 2, 1), vx, qx
+                    )                                              # [B,H,i,D]
+                    ut = u.transpose(0, 2, 1)[..., None]           # [B,H,i,1]
+                    pt = p.transpose(0, 2, 1)[..., None]
+                    outz = ut * t_pv + pt * t_nq
+                    out = (outz[..., :C] / outz[..., C:]).astype(self.dtype)
+                    out = out.transpose(0, 2, 1, 3).reshape(-1, H, C)
+                else:
+                    s = a_d[:, :, None, :] + a_s[:, None, :, :]
+                    gate = self.gate_dtype or store
+                    P = jnp.where(mask & (s >= 0), 1.0, 0.0).astype(gate)
+                    vx = (v[..., None] * xa).astype(store)
+                    qx = (q[..., None] * xa).astype(store)
+                    t_adj = jnp.einsum(
+                        "ij,bjhc->bihc", graph.adj_sl_mask.astype(gate), qx,
+                        preferred_element_type=jnp.float32,
+                    )
+                    t_p = jnp.einsum(
+                        "bijh,bjhc->bihc", P,
+                        jnp.concatenate([vx, qx], axis=-1),
+                        preferred_element_type=jnp.float32,
+                    )
+                    t_pv, t_pq = t_p[..., : C + 1], t_p[..., C + 1:]
+                    outz = u[..., None] * t_pv + p[..., None] * (t_adj - t_pq)
+                    out = (outz[..., :C] / outz[..., C:]).astype(self.dtype)
+                    out = out.reshape(-1, H, C)
             else:
                 logits = a_d[:, :, None, :] + a_s[:, None, :, :]  # [B, i, j, H]
                 logits = nn.leaky_relu(logits, self.negative_slope)

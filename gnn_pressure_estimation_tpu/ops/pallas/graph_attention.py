@@ -180,3 +180,156 @@ def make_fused_attention(
         return attend_padded(a_dst_p, a_src_p, v_p)[:, :, :n, :]
 
     return attend
+
+
+def make_fused_factored(
+    mask: np.ndarray,
+    interpret: Optional[bool] = None,
+    graphs_per_step: int = 8,
+):
+    """Fused kernel for the *factored* attention rewrite (models/layers.py):
+
+        P  = M · [a_d_i + a_s_j ≥ 0]          (0/1 sign gate, zero gradient)
+        t_pv = P @ rhs_v,   t_nq = (M − P) @ rhs_q
+
+    The XLA factored path materializes P ([B,n,n,H]) in HBM for the two dot
+    operands; this kernel computes the gate tile-by-tile in VMEM per
+    (graph, head) and writes only the two [n, D] aggregates.  The per-cell
+    VPU work is one broadcast add + compare + two selects (no transcendentals
+    — the exp factors live in per-node vectors outside), and the gate has
+    zero gradient by construction, so the backward is just the transposed
+    matmuls against a recomputed gate: d rhs_v = Pᵀ @ g_pv,
+    d rhs_q = (M−P)ᵀ @ g_nq, d a_d = d a_s = 0.
+
+    Shapes: a_dst [B,n,H] · a_src [B,H,n] · rhs_v/rhs_q [B,H,n,D] →
+    (t_pv, t_nq) each [B,H,n,D].  The gate is slope-independent (only the
+    sign of the pre-activation matters), so one factory serves any
+    negative_slope.
+    """
+    from jax.experimental import pallas as pl
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n = mask.shape[0]
+    n_pad = _round_up(n, 128)
+    maskf = np.zeros((n_pad, n_pad), np.float32)
+    maskf[:n, :n] = mask.astype(np.float32)
+    maskf = jnp.asarray(maskf)
+
+    def _gates(ad_col, as_row, mk):
+        s = ad_col + as_row                      # [n_pad, n_pad]
+        p = jnp.where(s >= 0, mk, 0.0)
+        return p, mk - p
+
+    def fwd_kernel(adst_ref, asrc_ref, rv_ref, rq_ref, mask_ref,
+                   opv_ref, onq_ref):
+        mk = mask_ref[...]
+        G, H = rv_ref.shape[0], rv_ref.shape[1]
+        for g in range(G):
+            for h in range(H):
+                p, nn_ = _gates(
+                    adst_ref[g][:, h : h + 1], asrc_ref[g, h : h + 1, :], mk
+                )
+                opv_ref[g, h] = jnp.dot(
+                    p, rv_ref[g, h], preferred_element_type=jnp.float32
+                )
+                onq_ref[g, h] = jnp.dot(
+                    nn_, rq_ref[g, h], preferred_element_type=jnp.float32
+                )
+
+    def bwd_kernel(adst_ref, asrc_ref, mask_ref, gpv_ref, gnq_ref,
+                   drv_ref, drq_ref):
+        mk = mask_ref[...]
+        G, H = gpv_ref.shape[0], gpv_ref.shape[1]
+        for g in range(G):
+            for h in range(H):
+                p, nn_ = _gates(
+                    adst_ref[g][:, h : h + 1], asrc_ref[g, h : h + 1, :], mk
+                )
+                drv_ref[g, h] = jax.lax.dot_general(
+                    p, gpv_ref[g, h], (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                drq_ref[g, h] = jax.lax.dot_general(
+                    nn_, gnq_ref[g, h], (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+
+    def _gps(B: int) -> int:
+        for g in (graphs_per_step, 8, 4, 2, 1):
+            if g <= graphs_per_step and B % g == 0:
+                return g
+        return 1
+
+    def _call_fwd(a_dst, a_src, rv, rq):
+        B, H, _, D = rv.shape
+        G = _gps(B)
+        return pl.pallas_call(
+            fwd_kernel,
+            grid=(B // G,),
+            in_specs=[
+                pl.BlockSpec((G, n_pad, H), lambda b: (b, 0, 0)),
+                pl.BlockSpec((G, H, n_pad), lambda b: (b, 0, 0)),
+                pl.BlockSpec((G, H, n_pad, D), lambda b: (b, 0, 0, 0)),
+                pl.BlockSpec((G, H, n_pad, D), lambda b: (b, 0, 0, 0)),
+                pl.BlockSpec((n_pad, n_pad), lambda b: (0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((G, H, n_pad, D), lambda b: (b, 0, 0, 0)),
+                pl.BlockSpec((G, H, n_pad, D), lambda b: (b, 0, 0, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((B, H, n_pad, D), jnp.float32),
+                jax.ShapeDtypeStruct((B, H, n_pad, D), jnp.float32),
+            ],
+            interpret=interpret,
+        )(a_dst, a_src, rv, rq, maskf)
+
+    @jax.custom_vjp
+    def agg_padded(a_dst, a_src, rv, rq):
+        return _call_fwd(a_dst, a_src, rv, rq)
+
+    def fwd_fn(a_dst, a_src, rv, rq):
+        return _call_fwd(a_dst, a_src, rv, rq), (a_dst, a_src)
+
+    def bwd_fn(res, g):
+        a_dst, a_src = res
+        g_pv, g_nq = g
+        B, H, _, D = g_pv.shape
+        G = _gps(B)
+        d_rv, d_rq = pl.pallas_call(
+            bwd_kernel,
+            grid=(B // G,),
+            in_specs=[
+                pl.BlockSpec((G, n_pad, H), lambda b: (b, 0, 0)),
+                pl.BlockSpec((G, H, n_pad), lambda b: (b, 0, 0)),
+                pl.BlockSpec((n_pad, n_pad), lambda b: (0, 0)),
+                pl.BlockSpec((G, H, n_pad, D), lambda b: (b, 0, 0, 0)),
+                pl.BlockSpec((G, H, n_pad, D), lambda b: (b, 0, 0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((G, H, n_pad, D), lambda b: (b, 0, 0, 0)),
+                pl.BlockSpec((G, H, n_pad, D), lambda b: (b, 0, 0, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((B, H, n_pad, D), jnp.float32),
+                jax.ShapeDtypeStruct((B, H, n_pad, D), jnp.float32),
+            ],
+            interpret=interpret,
+        )(a_dst, a_src, maskf, g_pv, g_nq)
+        return jnp.zeros_like(a_dst), jnp.zeros_like(a_src), d_rv, d_rq
+
+    agg_padded.defvjp(fwd_fn, bwd_fn)
+
+    def factored_agg(a_dst, a_src, rv, rq):
+        """Unpadded API (see factory docstring).  Pad columns are dead via
+        the mask; pad rows are computed-but-sliced."""
+        pn = n_pad - n
+        a_dst_p = jnp.pad(a_dst, ((0, 0), (0, pn), (0, 0)))
+        a_src_p = jnp.pad(a_src, ((0, 0), (0, 0), (0, pn)))
+        rv_p = jnp.pad(rv, ((0, 0), (0, 0), (0, pn), (0, 0)))
+        rq_p = jnp.pad(rq, ((0, 0), (0, 0), (0, pn), (0, 0)))
+        t_pv, t_nq = agg_padded(a_dst_p, a_src_p, rv_p, rq_p)
+        return t_pv[:, :, :n, :], t_nq[:, :, :n, :]
+
+    return factored_agg
