@@ -165,6 +165,7 @@ def cmd_train(args):
 
         init_distributed(args.coordinator, args.num_processes, args.process_id)
     from gnn_pressure_estimation_tpu.models import select_model
+    from gnn_pressure_estimation_tpu.models.presets import apply_model_knobs
     from gnn_pressure_estimation_tpu.train import TrainConfig, Trainer, load_checkpoint
     from gnn_pressure_estimation_tpu.utils.logging import make_logger
 
@@ -174,19 +175,11 @@ def cmd_train(args):
 
         dtype = jnp.bfloat16
     model, preset = select_model(args.model, dtype=dtype)
-    if args.gate_dtype is not None:
-        import jax.numpy as jnp
-
-        if "gate_dtype" not in getattr(model, "__dataclass_fields__", {}):
-            raise SystemExit(f"model '{args.model}' has no gate_dtype knob")
-        model = model.clone(
-            gate_dtype=jnp.float32 if args.gate_dtype == "float32"
-            else jnp.bfloat16
-        )
-    if args.attn_impl is not None:
-        if "attn_impl" not in getattr(model, "__dataclass_fields__", {}):
-            raise SystemExit(f"model '{args.model}' has no attn_impl knob")
-        model = model.clone(attn_impl=args.attn_impl)
+    try:
+        model = apply_model_knobs(model, attn_impl=args.attn_impl,
+                                  gate_dtype=args.gate_dtype)
+    except ValueError as e:
+        raise SystemExit(str(e))
     train_ds, val_ds, norm_type = _load_datasets(args, preset)
 
     cfg = TrainConfig(
@@ -267,6 +260,9 @@ def cmd_train(args):
             mask_rate=args.mask_rate, criterion=cfg.criterion,
             use_same_mask=False, feature=args.feature,
             removal=args.train_val_removal,
+            # evaluate under the layout the run just trained with (same
+            # invariant cmd_eval enforces from the checkpoint's extras)
+            agg_mode=args.agg_mode, band_block=args.band_block,
         )
         Evaluator(model, ecfg, train_ds.stats).evaluate(params, test_ds)
     return 0
@@ -290,9 +286,17 @@ def cmd_eval(args):
     from gnn_pressure_estimation_tpu.evaluation import EvalConfig, Evaluator
     from gnn_pressure_estimation_tpu.evaluation.harness import make_noisy_scenes
     from gnn_pressure_estimation_tpu.models import select_model
+    from gnn_pressure_estimation_tpu.models.presets import apply_model_knobs
     from gnn_pressure_estimation_tpu.train import load_checkpoint
 
     model, preset = select_model(args.model)
+    try:
+        # apply the same attention-knob overrides training honors, so eval
+        # can reproduce a run trained with a non-preset implementation
+        model = apply_model_knobs(model, attn_impl=args.attn_impl,
+                                  gate_dtype=args.gate_dtype)
+    except ValueError as e:
+        raise SystemExit(str(e))
     norm_type = args.norm_type or preset.norm_type
     edge_attrs = _edge_attrs(args, preset)
     if not args.model_path:

@@ -218,21 +218,26 @@ class GraphTemplate:
         }
         return self._degree_cache
 
-    def band_layout(self, block: Optional[int] = None, lane: int = 128):
+    def band_layout(self, block: Optional[int] = None,
+                    lane: Optional[int] = None):
         """RCM band layout, cached per (block, lane).
 
-        ``block=None`` resolves to the template's *default block*: the block
-        most recently requested **explicitly** through this method (e.g. by a
-        Trainer built with ``band_block=64``), falling back to 256.  The
-        default is tracked explicitly rather than by cache insertion order,
-        so building an auxiliary layout elsewhere cannot silently change
-        what ``batch(mode="banded")`` or ``build_halo_partition`` later see.
+        ``block=None`` resolves to the template's *default layout*: the
+        (block, lane) most recently requested **explicitly** through this
+        method (e.g. by a Trainer built with ``band_block=64``), falling back
+        to (256, 128).  The default is tracked explicitly rather than by
+        cache insertion order, so building an auxiliary layout elsewhere
+        cannot silently change what ``batch(mode="banded")`` or
+        ``build_halo_partition`` later see.  An explicitly passed ``lane``
+        always wins over the stored default's lane.
         """
         if not hasattr(self, "_band_cache") or self._band_cache is None:
             self._band_cache = {}
         if block is None:
-            block, lane = getattr(self, "_band_default", None) or (256, lane)
+            d_block, d_lane = getattr(self, "_band_default", None) or (256, 128)
+            block, lane = d_block, (lane if lane is not None else d_lane)
         else:
+            lane = 128 if lane is None else lane
             self._band_default = (block, lane)
         key = (block, lane)
         if key not in self._band_cache:

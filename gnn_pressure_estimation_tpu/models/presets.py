@@ -98,3 +98,31 @@ def select_model(name: str, dtype=None) -> tuple[nn.Module, ModelPreset]:
             raise ValueError(f"model '{name}' has no activation-dtype knob")
         model = model.clone(dtype=dtype)
     return model, preset
+
+
+def apply_model_knobs(model: nn.Module, attn_impl=None, gate_dtype=None,
+                      attn_dtype=None) -> nn.Module:
+    """Clone ``model`` with attention-knob overrides, validating that the
+    model actually exposes each knob (one shared implementation for the CLI
+    and the perf tools — cli.py train/eval, tools/roofline.py,
+    tools/hlo_traffic.py). Dtype knobs accept the CLI strings
+    'float32'/'bfloat16' or jnp dtypes; None leaves the preset value."""
+    import jax.numpy as jnp
+
+    def _dt(v):
+        if v is None or not isinstance(v, str):
+            return v
+        return jnp.float32 if v == "float32" else jnp.bfloat16
+
+    overrides = {}
+    for knob, val in (("attn_impl", attn_impl),
+                      ("gate_dtype", _dt(gate_dtype)),
+                      ("attn_dtype", _dt(attn_dtype))):
+        if val is None:
+            continue
+        if knob not in getattr(model, "__dataclass_fields__", {}):
+            raise ValueError(
+                f"model {type(model).__name__} has no {knob!r} knob"
+            )
+        overrides[knob] = val
+    return model.clone(**overrides) if overrides else model

@@ -104,9 +104,10 @@ def make_mesh_forward(
 
     def local_fwd(params, x, arrs):
         graph = part.local_graph(arrs, B_local)
-        C = x.shape[-1]
-        out = model.apply(params, x.reshape(-1, C), graph)
-        return out.reshape(B_local, part.chunk, C)
+        out = model.apply(params, x.reshape(-1, x.shape[-1]), graph)
+        # reshape by the model's own output width (out_channels need not
+        # equal the input feature dim)
+        return out.reshape(B_local, part.chunk, out.shape[-1])
 
     sharded = shard_map(
         local_fwd,

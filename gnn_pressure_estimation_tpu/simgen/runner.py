@@ -34,6 +34,7 @@ from gnn_pressure_estimation_tpu.data.zarrzip import (
 from gnn_pressure_estimation_tpu.simgen.config import GenOptions, read_config
 from gnn_pressure_estimation_tpu.simgen.executor import ScenarioExecutor
 from gnn_pressure_estimation_tpu.simgen.tokens import (
+    apply_injections,
     build_feature_specs,
     build_injections,
     sample_params,
@@ -60,7 +61,12 @@ def _worker_run(args):
     batch_seed, chunk_size, preset_params = args
     ex: ScenarioExecutor = _WORKER["executor"]
     if preset_params is not None:
-        params = np.asarray(preset_params, np.float64)
+        # update_*_json overrides compose with --load_params: the prior
+        # store's rows are replayed with the named elements pinned
+        params = apply_injections(
+            _WORKER["specs"], np.asarray(preset_params, np.float64),
+            _WORKER["injections"],
+        )
     else:
         rng = np.random.default_rng(batch_seed)
         params = sample_params(

@@ -336,6 +336,27 @@ def sample_params(
     return np.concatenate(out, axis=-1)
 
 
+def apply_injections(specs: list[FeatureSpec], params: np.ndarray,
+                     injections: Optional[list]) -> np.ndarray:
+    """Pin user-supplied values onto existing parameter rows (the
+    ``--load_params`` + ``update_*_json`` combination: regenerate from a
+    prior store's rows, with the named elements overridden)."""
+    if not injections or all(i is None for i in injections):
+        return params
+    params = np.array(params, copy=True)
+    start = 0
+    for si, s in enumerate(specs):
+        inj = injections[si]
+        if inj is not None:
+            mask, fixed = inj
+            block = params[:, start : start + s.length]
+            params[:, start : start + s.length] = np.where(
+                mask[None, :], fixed[None, :], block
+            )
+        start += s.length
+    return params
+
+
 def split_params(specs: list[FeatureSpec], params: np.ndarray) -> dict[str, np.ndarray]:
     """Stacked parameter row(s) → per-key arrays (RaggedArrayDict analog,
     epynet_utils.py:425+)."""

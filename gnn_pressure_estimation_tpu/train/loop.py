@@ -578,21 +578,24 @@ class Trainer:
                             path=self._ckpt_path("best"), params=self.params,
                             opt_state=self.opt_state, epoch=ep, loss=val_loss,
                             metrics=vm, stats=self.stats,
-                            extra=self._resume_extra(early, sched, best),
+                            extra=self._resume_extra(early, sched, best,
+                                                     params_epoch=epoch + E - 1),
                         )
                 if ep == 1 or ep % cfg.log_every == 0:
                     mstr = ", ".join(f"{mk}: {mv:.4f}" for mk, mv in vm.items())
                     log_fn(f"Epoch: {ep:03d}, train loss: {tr_loss:.4f}, "
                            f"val_loss: {val_loss:.4f}, {mstr}")
                 if cfg.save_path and not math.isnan(tr_loss) and (
-                        j == E - 1 or ep % cfg.log_every == 0 or stop):
+                        j == E - 1 or stop):
                     # block-end params are the only ones on the host, so the
-                    # fast path writes 'last' at block ends / log epochs
+                    # fast path writes 'last' once per block (mid-block
+                    # writes would serialize identical params repeatedly)
                     save_checkpoint(
                         path=self._ckpt_path("last"), params=self.params,
                         opt_state=self.opt_state, epoch=ep, loss=val_loss,
                         metrics=vm, stats=self.stats,
-                        extra=self._resume_extra(early, sched, best),
+                        extra=self._resume_extra(early, sched, best,
+                                                 params_epoch=epoch + E - 1),
                     )
                 if on_epoch_end:
                     on_epoch_end(ep, {"train_loss": tr_loss,
@@ -843,16 +846,25 @@ class Trainer:
         best["train_time_s"] = time.time() - t0
         return best
 
-    def _resume_extra(self, early, sched, best) -> dict:
+    def _resume_extra(self, early, sched, best, params_epoch=None) -> dict:
         """Serializable continuation state stored in every checkpoint, plus
         the aggregation layout the model was trained under (so evaluation
-        can default to the same layout)."""
+        can default to the same layout).
+
+        ``params_epoch`` is the epoch the stored *params* correspond to when
+        it differs from the checkpoint's reporting epoch: the fast path's
+        jitted block applies all E epochs before any host-side checkpoint
+        can be written, so a mid-block 'best'/early-stop write holds
+        block-end params — resume must continue from the block end, not the
+        reporting epoch, or it would re-apply already-trained epochs."""
         return {
             "resume": {
                 "early": early.state_dict(),
                 "sched": sched.state_dict() if sched is not None else None,
                 "best": {"loss": best["loss"], "epoch": best["epoch"],
                          "metrics": best.get("metrics", {})},
+                **({"params_epoch": int(params_epoch)}
+                   if params_epoch is not None else {}),
             },
             "layout": {"agg_mode": self.cfg.agg_mode,
                        "band_block": self.cfg.band_block},
@@ -873,7 +885,10 @@ class Trainer:
         else:
             log_fn(f"WARNING: {path} has no optimizer state; Adam moments reset")
         rs = (meta.get("extra") or {}).get("resume") or {}
-        self._resume = {"epoch": meta.get("epoch", 0), **rs}
+        # fast-path checkpoints hold block-end params: continue from the
+        # epoch the params actually correspond to (see _resume_extra)
+        epoch = max(int(meta.get("epoch", 0)), int(rs.get("params_epoch") or 0))
+        self._resume = {**rs, "epoch": epoch}
         return meta
 
     def _ckpt_path(self, kind: str) -> str:

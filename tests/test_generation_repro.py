@@ -107,6 +107,33 @@ def test_update_json_injection_reaches_solve(gen_env, tmp_path):
     assert np.std(demand[:, other]) > 0
 
 
+def test_load_params_composes_with_injection(gen_env, tmp_path):
+    """--load_params + update_*_json: the prior store's rows replay with the
+    named element pinned (previously the injection was silently ignored)."""
+    d, inp, ini, cfg = gen_env
+    wn = parse_inp(inp)
+    uid = wn.junctions[0].id
+    zip1 = generate(ini, _opts())
+    import configparser
+
+    cp = configparser.ConfigParser()
+    cp.read(ini)
+    cp.set("general", "storage_dir", str(tmp_path / "lpinj"))
+    ini2 = str(tmp_path / "lpinj.ini")
+    with open(ini2, "w") as f:
+        cp.write(f)
+    zip2 = generate(ini2, _opts(load_params=zip1,
+                                update_demand_json=json.dumps({uid: 2.5})))
+    with ZarrZipReader(zip1) as r:
+        t1 = r.read_array("token")
+    with ZarrZipReader(zip2) as r:
+        t2 = r.read_array("token")
+    col = wn.junction_names.index(uid)
+    np.testing.assert_allclose(t2[:, col], 2.5)       # pinned
+    other = [c for c in range(t1.shape[1]) if c != col]
+    np.testing.assert_array_equal(t2[:, other], t1[:, other])  # replayed
+
+
 def test_injection_file_form_and_unknown_uid(gen_env, tmp_path):
     d, inp, ini, cfg = gen_env
     wn = parse_inp(inp)

@@ -140,6 +140,35 @@ def test_resume_fast_path_block_boundary(setup, tmp_path):
     _params_equal(tr_full.params, tr_b.params)
 
 
+def test_resume_fast_path_mid_block_stop(setup, tmp_path):
+    """A fast-path checkpoint written mid-block (early stop at epoch 2 of a
+    5-epoch dispatch block) holds block-end params: resume must continue from
+    the block end, not the reporting epoch — otherwise it re-applies epochs
+    already baked into the params."""
+    tpl, arr = setup
+    train_ds, val_ds = _mkds(tpl, arr), _mkds(tpl, arr[:8])
+
+    # min_delta huge -> every epoch after the first is "bad"; patience=1
+    # stops at epoch 2, inside the single 5-epoch block
+    cfg = _cfg(tmp_path / "mb", epochs=5, epochs_per_dispatch=5,
+               scheduler=None, min_delta=1e9, patience=1)
+    tr_a = Trainer(GATRes(num_blocks=1, channels=4), cfg, NormStats(), tpl)
+    seen = []
+    tr_a.fit(train_ds, val_ds, log_fn=lambda *_: None,
+             on_epoch_end=lambda ep, m: seen.append(ep))
+    assert seen == [1, 2]  # early stop fired mid-block
+
+    tr_b = Trainer(GATRes(num_blocks=1, channels=4), cfg, NormStats(), tpl)
+    meta = tr_b.restore(str(tmp_path / "mb" / "last_model.ckpt"))
+    assert meta["epoch"] == 2             # reporting epoch (stop point)
+    assert tr_b._resume["epoch"] == 5     # params epoch (block end)
+    resumed = []
+    tr_b.fit(train_ds, val_ds, log_fn=lambda *_: None,
+             on_epoch_end=lambda ep, m: resumed.append(ep))
+    assert resumed == []                  # nothing left to (re-)apply
+    _params_equal(tr_a.params, tr_b.params)
+
+
 def test_weights_only_checkpoint_still_loads(setup, tmp_path):
     """A checkpoint without resume extras degrades gracefully."""
     from gnn_pressure_estimation_tpu.train.checkpoint import save_checkpoint

@@ -50,16 +50,11 @@ def main():
     keep = get_keep_list(wn, "keep_junction", None, "pressure")
     tpl, _ = build_template(wn, keep, None, name="hlo")
 
+    from gnn_pressure_estimation_tpu.models.presets import apply_model_knobs
+
     model, _ = select_model(args.model)
-    overrides = {}
-    if args.attn_impl:
-        overrides["attn_impl"] = args.attn_impl
-    if args.gate_dtype:
-        overrides["gate_dtype"] = (
-            jnp.float32 if args.gate_dtype == "float32" else jnp.bfloat16
-        )
-    if overrides:
-        model = model.clone(**overrides)
+    model = apply_model_knobs(model, attn_impl=args.attn_impl,
+                              gate_dtype=args.gate_dtype)
     cfg = TrainConfig(batch_size=args.batch, mask_rate=0.95, criterion="mse",
                       seed=0)
     trainer = Trainer(model, cfg, NormStats(norm_type="znorm", mean=40.0, std=15.0), tpl)

@@ -73,19 +73,15 @@ def main():
     keep = get_keep_list(wn, "keep_junction", None, "pressure")
     tpl, _ = build_template(wn, keep, None, name="roofline")
 
+    from gnn_pressure_estimation_tpu.models.presets import apply_model_knobs
+
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else None
     model, _ = select_model(args.model, dtype=dtype)
-    overrides = {}
-    if args.attn_dtype:
-        overrides["attn_dtype"] = jnp.bfloat16
-    if args.attn_impl != "softmax":
-        overrides["attn_impl"] = args.attn_impl
-    if args.gate_dtype:
-        overrides["gate_dtype"] = (
-            jnp.float32 if args.gate_dtype == "float32" else jnp.bfloat16
-        )
-    if overrides:
-        model = model.clone(**overrides)
+    model = apply_model_knobs(
+        model,
+        attn_impl=None if args.attn_impl == "softmax" else args.attn_impl,
+        gate_dtype=args.gate_dtype, attn_dtype=args.attn_dtype,
+    )
     cfg = TrainConfig(batch_size=args.batch, mask_rate=0.95, criterion="mse",
                       seed=0, agg_mode=args.agg_mode, band_block=args.band_block)
     trainer = Trainer(model, cfg, NormStats(norm_type="znorm", mean=40.0, std=15.0), tpl)
