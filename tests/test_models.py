@@ -83,3 +83,20 @@ def test_remask_variants_forward(rng):
         params = model.init(jax.random.PRNGKey(0), x, g, mask)
         out = model.apply(params, x, g, mask)
         assert out.shape == (28, 1) and np.isfinite(np.asarray(out)).all()
+
+
+def test_apply_model_knobs():
+    """Shared knob-override helper (cli train/eval + perf tools): applies
+    valid knobs with string->dtype mapping, rejects knobs the model lacks."""
+    from gnn_pressure_estimation_tpu.models.presets import apply_model_knobs
+
+    model, _ = select_model("gatres_small")
+    m2 = apply_model_knobs(model, attn_impl="softmax", gate_dtype="float32")
+    assert m2.attn_impl == "softmax" and m2.gate_dtype == jnp.float32
+    # None leaves the preset value (and returns the same instance)
+    assert apply_model_knobs(model) is model
+    assert apply_model_knobs(model, gate_dtype=None).gate_dtype == model.gate_dtype
+    # models without the knob raise instead of silently ignoring
+    mgcn, _ = select_model("mgcn")
+    with pytest.raises(ValueError, match="attn_impl"):
+        apply_model_knobs(mgcn, attn_impl="softmax")
