@@ -37,9 +37,11 @@ def main():
     ap.add_argument("--dtype", default=None, choices=[None, "bfloat16"])
     ap.add_argument("--attn-dtype", default=None, choices=[None, "bfloat16"],
                     help="storage dtype for the [B,n,n,H] attention tensors")
-    ap.add_argument("--attn-impl", default="softmax",
-                    choices=["softmax", "onepass", "factored"],
-                    help="dense-path attention implementation (GATRes)")
+    ap.add_argument("--attn-impl", default=None,
+                    choices=[None, "softmax", "onepass", "factored"],
+                    help="dense-path attention implementation override "
+                         "(None keeps the model preset; explicit 'softmax' "
+                         "forces it even when the preset is factored)")
     ap.add_argument("--gate-dtype", default=None,
                     choices=[None, "float32", "bfloat16"],
                     help="storage dtype of the factored path's 0/1 gate "
@@ -79,7 +81,7 @@ def main():
     model, _ = select_model(args.model, dtype=dtype)
     model = apply_model_knobs(
         model,
-        attn_impl=None if args.attn_impl == "softmax" else args.attn_impl,
+        attn_impl=args.attn_impl,
         gate_dtype=args.gate_dtype, attn_dtype=args.attn_dtype,
     )
     cfg = TrainConfig(batch_size=args.batch, mask_rate=0.95, criterion="mse",
@@ -121,7 +123,7 @@ def main():
     bound = "memory" if t_mem >= t_comp else "compute"
     report = {
         "model": args.model,
-        "variant": args.attn_impl
+        "variant": (args.attn_impl or "preset")
         + ("+attn_bf16" if args.attn_dtype else "")
         + (f"+gate_{args.gate_dtype}" if args.gate_dtype else ""),
         "batch": bs,
