@@ -112,7 +112,13 @@ def apply_model_knobs(model: nn.Module, attn_impl=None, gate_dtype=None,
     def _dt(v):
         if v is None or not isinstance(v, str):
             return v
-        return jnp.float32 if v == "float32" else jnp.bfloat16
+        if v == "float32":
+            return jnp.float32
+        if v == "bfloat16":
+            return jnp.bfloat16
+        raise ValueError(
+            f"dtype knob must be 'float32' or 'bfloat16', got {v!r}"
+        )
 
     overrides = {}
     for knob, val in (("attn_impl", attn_impl),

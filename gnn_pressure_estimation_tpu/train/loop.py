@@ -518,7 +518,9 @@ class Trainer:
 
         Checkpoint/scheduler/early-stop decisions happen at block
         granularity: the params saved for a best epoch inside a block are
-        the block-end params (documented trade-off of the fast path).
+        the block-end params (documented trade-off of the fast path), and
+        the 'best' write is deferred to block end so the stored
+        early-stop/scheduler state always matches ``params_epoch``.
 
         Per-epoch shuffles and mask keys are derived from (seed, epoch), not
         block position, so a resumed run replays the same per-epoch streams
@@ -541,6 +543,7 @@ class Trainer:
         epoch = start_epoch
         stop = False
         while epoch <= cfg.epochs and not stop:
+            best_dirty = False
             E = min(cfg.epochs_per_dispatch, cfg.epochs - epoch + 1)
             block = self._get_epoch_block(template, bs, steps_tr, steps_val, E)
             perms = np.zeros((E, steps_tr, bs), np.int32)
@@ -573,14 +576,7 @@ class Trainer:
                         self.opt_state = set_lr(self.opt_state, new_lr)
                 if val_loss < best["loss"]:
                     best.update({"loss": val_loss, "epoch": ep, "metrics": vm})
-                    if cfg.save_path:
-                        save_checkpoint(
-                            path=self._ckpt_path("best"), params=self.params,
-                            opt_state=self.opt_state, epoch=ep, loss=val_loss,
-                            metrics=vm, stats=self.stats,
-                            extra=self._resume_extra(early, sched, best,
-                                                     params_epoch=epoch + E - 1),
-                        )
+                    best_dirty = True
                 if ep == 1 or ep % cfg.log_every == 0:
                     mstr = ", ".join(f"{mk}: {mv:.4f}" for mk, mv in vm.items())
                     log_fn(f"Epoch: {ep:03d}, train loss: {tr_loss:.4f}, "
@@ -604,6 +600,19 @@ class Trainer:
                     log_fn(f"\n!! No improvement for {cfg.patience} epochs. "
                            "Training stopped!")
                     break
+            if best_dirty and cfg.save_path:
+                # Deferred to block end so the stored early-stop/scheduler
+                # state matches params_epoch: the block-end params are the
+                # only ones on the host, and a mid-block write would pair
+                # them with mid-block early/sched state (resume skew).
+                save_checkpoint(
+                    path=self._ckpt_path("best"), params=self.params,
+                    opt_state=self.opt_state, epoch=best["epoch"],
+                    loss=best["loss"], metrics=best["metrics"],
+                    stats=self.stats,
+                    extra=self._resume_extra(early, sched, best,
+                                             params_epoch=epoch + E - 1),
+                )
             epoch += E
         best["train_time_s"] = time.time() - t0
         return best

@@ -169,6 +169,44 @@ def test_resume_fast_path_mid_block_stop(setup, tmp_path):
     _params_equal(tr_a.params, tr_b.params)
 
 
+def test_resume_fast_path_mid_block_best(setup, tmp_path):
+    """A 'best' epoch that lands mid-block must still produce a checkpoint
+    whose early-stop state matches its block-end params (the write is
+    deferred to block end): resuming from best_model.ckpt continues the
+    patience countdown exactly where an uninterrupted run would."""
+    tpl, arr = setup
+    train_ds, val_ds = _mkds(tpl, arr), _mkds(tpl, arr[:8])
+
+    # min_delta huge -> best is epoch 1, mid-block of the 3-epoch dispatch;
+    # patience 4 -> the uninterrupted run stops at epoch 5
+    kw = dict(epochs=8, epochs_per_dispatch=3, scheduler=None,
+              min_delta=1e9, patience=4)
+    cfg_full = _cfg(tmp_path / "full", **kw)
+    tr_full = Trainer(GATRes(num_blocks=1, channels=4), cfg_full,
+                      NormStats(), tpl)
+    seen = []
+    tr_full.fit(train_ds, val_ds, log_fn=lambda *_: None,
+                on_epoch_end=lambda ep, m: seen.append(ep))
+    assert seen == [1, 2, 3, 4, 5]
+
+    cfg_a = _cfg(tmp_path / "mbb", **{**kw, "epochs": 3})
+    tr_a = Trainer(GATRes(num_blocks=1, channels=4), cfg_a, NormStats(), tpl)
+    tr_a.fit(train_ds, val_ds, log_fn=lambda *_: None)
+
+    tr_b = Trainer(GATRes(num_blocks=1, channels=4),
+                   _cfg(tmp_path / "mbb", **kw), NormStats(), tpl)
+    meta = tr_b.restore(str(tmp_path / "mbb" / "best_model.ckpt"))
+    assert meta["epoch"] == 1                 # the best epoch itself
+    assert tr_b._resume["epoch"] == 3         # params are block-end
+    # early-stop state was stepped through the whole block, not just epoch 1
+    assert tr_b._resume["early"]["num_bad_epochs"] == 2
+    resumed = []
+    tr_b.fit(train_ds, val_ds, log_fn=lambda *_: None,
+             on_epoch_end=lambda ep, m: resumed.append(ep))
+    assert resumed == [4, 5]                  # same stop point as the full run
+    _params_equal(tr_full.params, tr_b.params)
+
+
 def test_weights_only_checkpoint_still_loads(setup, tmp_path):
     """A checkpoint without resume extras degrades gracefully."""
     from gnn_pressure_estimation_tpu.train.checkpoint import save_checkpoint
