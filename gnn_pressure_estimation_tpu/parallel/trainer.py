@@ -75,8 +75,12 @@ class MeshTrainer(Trainer):
         self.mesh = mesh
         self.dp = mesh.shape["data"]
         self.gp = mesh.shape["graph"]
-        large = sample_template.n_node > GraphTemplate.DENSE_THRESHOLD
-        self.strategy = "halo" if large else "graphs"
+        # Strategy is resolved PER TEMPLATE (multi-dataset loaders mix
+        # templates of different sizes — dataset.py SnapshotLoader /
+        # BASELINE.json config 5); ``self.strategy`` records the sample
+        # template's resolution for introspection and the batch-size guard.
+        self._halo_parts: dict = {}
+        self.strategy = self._strategy_for(sample_template)
         if self.strategy == "graphs":
             assert cfg.batch_size % (self.dp * self.gp) == 0, (
                 f"batch_size {cfg.batch_size} must divide over the "
@@ -86,12 +90,22 @@ class MeshTrainer(Trainer):
             assert cfg.batch_size % self.dp == 0, (
                 f"batch_size {cfg.batch_size} not divisible by data axis {self.dp}"
             )
-            self._halo_parts: dict = {}
         super().__init__(model, cfg, stats, sample_template, required_mask_idx)
 
+    @staticmethod
+    def _strategy_for(template: GraphTemplate) -> str:
+        """Whole-graph sharding for dense-path templates, block-row halo
+        sharding past the dense threshold — decided per template so one
+        mesh run can mix e.g. C-Town-scale and Oosterbeek-scale datasets."""
+        large = template.n_node > GraphTemplate.DENSE_THRESHOLD
+        return "halo" if large else "graphs"
+
     # -- graphs strategy: sharding-annotated jit over the flat batch -------
-    def _jit_wrap(self, fn, donate, batch_argnums, stacked=False):
-        if self.strategy != "graphs":
+    def _jit_wrap(self, fn, donate, batch_argnums, stacked=False,
+                  template=None):
+        strat = self._strategy_for(template) if template is not None else self.strategy
+        if strat != "graphs":
+            # halo cores carry their own shard_map; plain jit suffices
             return super()._jit_wrap(fn, donate, batch_argnums, stacked)
         rep = NamedSharding(self.mesh, P())
         spec = P(None, ("data", "graph"), None) if stacked else P(("data", "graph"), None)
@@ -176,7 +190,7 @@ class MeshTrainer(Trainer):
         return part, garr, pack, local_loss_fn
 
     def _train_step_core(self, template: GraphTemplate, bs: int):
-        if self.strategy != "halo":
+        if self._strategy_for(template) != "halo":
             return super()._train_step_core(template, bs)
         part, garr, pack, local_loss_fn = self._halo_forward_parts(template, bs)
         n = template.n_node
@@ -214,7 +228,7 @@ class MeshTrainer(Trainer):
 
     def _eval_step_core(self, template: GraphTemplate, bs: int,
                         prefix: str = "val"):
-        if self.strategy != "halo":
+        if self._strategy_for(template) != "halo":
             return super()._eval_step_core(template, bs, prefix)
         part, garr, pack, local_loss_fn = self._halo_forward_parts(template, bs)
         n = template.n_node

@@ -274,10 +274,12 @@ class Trainer:
         return step
 
     def _jit_wrap(self, fn, donate: tuple, batch_argnums: tuple,
-                  stacked: bool = False):
+                  stacked: bool = False, template: GraphTemplate = None):
         """Jit hook: subclasses (MeshTrainer) attach input/output shardings
         here; ``batch_argnums`` are the snapshot-batch args, ``stacked`` marks
-        the scanned-epoch layout ([S, bs·n, 1] vs [bs·n, 1])."""
+        the scanned-epoch layout ([S, bs·n, 1] vs [bs·n, 1]), and ``template``
+        lets the subclass pick a per-template partition strategy in
+        multi-dataset runs (dataset.py mixes templates in one loader)."""
         return self._with_precision(jax.jit(fn, donate_argnums=donate))
 
     def _with_precision(self, fn):
@@ -300,7 +302,8 @@ class Trainer:
             return self._train_step_cache[key]
         donate = (0, 1) if self.cfg.donate_state else ()
         step = self._jit_wrap(
-            self._train_step_core(template, bs), donate, (2, 3)
+            self._train_step_core(template, bs), donate, (2, 3),
+            template=template,
         )
         self._train_step_cache[key] = step
         return step
@@ -337,7 +340,8 @@ class Trainer:
                 mk: jnp.mean(mv) for mk, mv in mets.items()
             }
 
-        epoch = self._jit_wrap(epoch, donate, (2,), stacked=True)
+        epoch = self._jit_wrap(epoch, donate, (2,), stacked=True,
+                               template=template)
         self._epoch_cache[key] = epoch
         return epoch
 
@@ -361,7 +365,8 @@ class Trainer:
             _, (losses, mets) = jax.lax.scan(body, None, (xs, keys))
             return jnp.mean(losses), {mk: jnp.mean(mv) for mk, mv in mets.items()}
 
-        epoch = self._jit_wrap(epoch, (), (1,), stacked=True)
+        epoch = self._jit_wrap(epoch, (), (1,), stacked=True,
+                               template=template)
         self._epoch_cache[key] = epoch
         return epoch
 
@@ -394,7 +399,8 @@ class Trainer:
         if key in self._eval_step_cache:
             return self._eval_step_cache[key]
         step = self._jit_wrap(
-            self._eval_step_core(template, bs, prefix), (), (1, 2)
+            self._eval_step_core(template, bs, prefix), (), (1, 2),
+            template=template,
         )
         self._eval_step_cache[key] = step
         return step
@@ -497,7 +503,7 @@ class Trainer:
                 epoch_body, (params, opt_state), (perms, ekeys))
             return params, opt_state, tr, val, tr_mets, val_mets
 
-        block = self._jit_wrap(block, donate, ())
+        block = self._jit_wrap(block, donate, (), template=template)
         self._epoch_cache[key] = block
         return block
 

@@ -277,6 +277,74 @@ def test_meshtrainer_fit_end_to_end(rng, tmp_path):
     assert (tmp_path / "best_model.ckpt").exists()
 
 
+@pytest.mark.parametrize("sample_first", ["small", "large"])
+def test_meshtrainer_mixed_templates_multi_dataset(rng, sample_first):
+    """BASELINE config 5: one MeshTrainer drives a multi-dataset run mixing a
+    dense-path template (whole-graph sharding) and a banded template
+    (block-row halo sharding) — strategy resolved per template, each step
+    matching the single-device Trainer regardless of which template the
+    trainer was constructed from."""
+    import math
+    from gnn_pressure_estimation_tpu.core.graph import GraphTemplate
+    from gnn_pressure_estimation_tpu.data.dataset import WDNDataset, _Member
+    from gnn_pressure_estimation_tpu.parallel import MeshTrainer
+
+    if jax.device_count() < 4:
+        pytest.skip("needs 4 virtual devices")
+    old = GraphTemplate.DENSE_THRESHOLD
+    GraphTemplate.DENSE_THRESHOLD = 32
+    try:
+        tpl_small = random_graph(rng, n=16, extra_edges=8)
+        tpl_large = _banded_chain_template(rng)  # n=64 → halo
+        sample = tpl_small if sample_first == "small" else tpl_large
+        model = GATRes(num_blocks=1, channels=8)
+        cfg = TrainConfig(epochs=2, batch_size=4, mask_rate=0.5,
+                          criterion="mse", patience=100, donate_state=False,
+                          seed=0)
+        mesh = make_mesh(dp=2, gp=2)
+        mt = MeshTrainer(model, cfg, NormStats(), sample, mesh)
+        assert mt._strategy_for(tpl_small) == "graphs"
+        assert mt._strategy_for(tpl_large) == "halo"
+        st = Trainer(model, cfg, NormStats(), sample)
+
+        # per-template step parity vs the single-device trainer
+        key = jax.random.PRNGKey(11)
+        for tpl in (tpl_small, tpl_large):
+            x = jnp.asarray(
+                rng.standard_normal((4 * tpl.n_node, 1)).astype(np.float32))
+            pm, _, lm, _ = mt._get_train_step(tpl, 4)(
+                mt.params, mt.opt_state, x, x, key)
+            ps, _, ls, _ = st._get_train_step(tpl, 4)(
+                st.params, st.opt_state, x, x, key)
+            np.testing.assert_allclose(float(lm), float(ls), rtol=1e-5)
+            for a, b in zip(jax.tree.leaves(pm), jax.tree.leaves(ps)):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           atol=2e-5)
+
+        # full fit over the combined two-template dataset
+        ds = object.__new__(WDNDataset)
+        ds.feature, ds.from_set, ds.norm_type, ds.edge_attrs = (
+            "pressure", "train", "znorm", None)
+        ds.stats = NormStats()
+        ds.members = [
+            _Member(tpl_small,
+                    rng.standard_normal((8, 16)).astype(np.float32), [], None),
+            _Member(tpl_large,
+                    rng.standard_normal((8, 64)).astype(np.float32), [], None),
+        ]
+        ds._lengths = [8, 8]
+        ds.length = 16
+        best = mt.fit(ds, ds, log_fn=lambda *_: None)
+        assert math.isfinite(best["loss"])
+        # both templates went through compiled steps; the banded one built
+        # exactly one halo partition
+        cached_tpls = {tid for tid, *_ in mt._train_step_cache}
+        assert {id(tpl_small), id(tpl_large)} <= cached_tpls
+        assert list(mt._halo_parts) == [id(tpl_large)]
+    finally:
+        GraphTemplate.DENSE_THRESHOLD = old
+
+
 def test_halo_exchange_roundtrip(rng):
     """halo_exchange delivers exactly the neighbor rows (zeros at the edges)."""
     from functools import partial
