@@ -8,6 +8,9 @@ Maps the reference's three entry points onto one CLI:
   CLI actually wired — the reference ignored its own flags)
 - ``netgen``   — synthetic WDN INP generator (no reference analog; the
   reference's C-Town INP ships as an unusable git-LFS pointer)
+- ``infer``    — serving: reconstruct full pressure fields from sparse
+  observations and export npz/csv (no reference analog; evaluation.py
+  keeps only aggregate metrics)
 
 Run as ``python -m gnn_pressure_estimation_tpu.cli <command> [flags]``.
 """
@@ -383,6 +386,98 @@ def cmd_eval(args):
     return 0
 
 
+def cmd_infer(args):
+    """Serving surface: reconstruct full pressure fields from sparse
+    observations and export them (no reference analog — evaluation.py only
+    reports aggregate metrics; this keeps the estimated field)."""
+    if args.device == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    from gnn_pressure_estimation_tpu.data import WDNDataset
+    from gnn_pressure_estimation_tpu.evaluation.infer import Inferencer
+    from gnn_pressure_estimation_tpu.models import select_model
+    from gnn_pressure_estimation_tpu.models.presets import apply_model_knobs
+    from gnn_pressure_estimation_tpu.train import load_checkpoint
+
+    model, preset = select_model(args.model)
+    try:
+        model = apply_model_knobs(model, attn_impl=args.attn_impl,
+                                  gate_dtype=args.gate_dtype)
+    except ValueError as e:
+        raise SystemExit(str(e))
+    if not args.model_path:
+        sys.exit("infer requires --model_path (a trained checkpoint)")
+    params, _, meta = load_checkpoint(args.model_path)
+    stats = meta.get("stats")
+    assert stats is not None, "checkpoint lacks normalization stats"
+    layout = (meta.get("extra") or {}).get("layout") or {}
+    agg_mode = args.agg_mode or layout.get("agg_mode")
+    band_block = args.band_block or layout.get("band_block")
+    norm_type = args.norm_type or preset.norm_type
+    edge_attrs = _edge_attrs(args, preset)
+
+    if args.from_set == "inp":
+        # fresh noise-free simulation of the INP as the snapshot source
+        from gnn_pressure_estimation_tpu.data.noisy import NoisyWDNDataset
+
+        ds = NoisyWDNDataset(
+            [args.test_input_path], feature=args.feature,
+            removal=args.test_removal, stats=stats, edge_attrs=edge_attrs,
+            norm_type=norm_type, mean_dmd=0.0, std_dmd=0.0,
+        )
+    else:
+        ds = WDNDataset(
+            [args.test_data_path], [args.test_input_path],
+            feature=args.feature, from_set=args.from_set,
+            removal=args.test_removal, edge_attrs=edge_attrs,
+            norm_type=norm_type, stats=stats,
+        )
+    template = ds.members[0].template
+    rows = ds.members[0].array  # scaled snapshots [S, n]
+    if args.num_snapshots:
+        rows = rows[: args.num_snapshots]
+
+    # params restored without a template keep raw dict form — rebuild via init
+    import jax
+    import jax.numpy as jnp
+
+    g1 = template.batch(1, mode=agg_mode, band_block=band_block)
+    template_params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((g1.n_node, 1)), g1
+    )
+    from flax import serialization
+
+    params = serialization.from_state_dict(template_params, params)
+
+    inf = Inferencer(model, stats, agg_mode=agg_mode, band_block=band_block)
+    spec = args.observed
+    if spec not in ("random", "sensors"):
+        spec = [s.strip() for s in spec.split(",") if s.strip()]
+    try:
+        obs_idx = inf.observed_indices(
+            template, spec, test_input_path=args.test_input_path,
+            mask_rate=args.mask_rate, seed=args.seed,
+        )
+    except ValueError as e:
+        raise SystemExit(str(e))
+    res = inf.infer(params, template, rows, obs_idx, scaled=True,
+                    batch_size=args.batch_size, with_truth=True)
+    print(f"inferred {res.pred.shape[0]} snapshots × {res.pred.shape[1]} nodes "
+          f"({len(obs_idx)} observed)")
+    for mk, mv in res.metrics.items():
+        print(f"  {mk}: {mv:.6g}" if isinstance(mv, float) else f"  {mk}: {mv}")
+    if args.out_npz:
+        res.save_npz(args.out_npz)
+        print(f"wrote {args.out_npz}")
+    if args.out_csv:
+        res.save_csv(args.out_csv)
+        print(f"wrote {args.out_csv}")
+    if not (args.out_npz or args.out_csv):
+        print("(pass --out_npz / --out_csv to export the fields)")
+    return 0
+
+
 def cmd_generate(args):
     from gnn_pressure_estimation_tpu.simgen.config import GenOptions
     from gnn_pressure_estimation_tpu.simgen.runner import generate
@@ -456,6 +551,26 @@ def main(argv=None):
     p_eval.add_argument("--mean_dmd", default=0.1, type=float)
     p_eval.add_argument("--std_dmd", default=1.0, type=float)
 
+    p_inf = sub.add_parser(
+        "infer", help="reconstruct full pressure fields from sparse "
+                      "observations and export them (serving)")
+    _add_train_flags(p_inf)
+    p_inf.add_argument("--from_set", default="test",
+                       choices=["train", "valid", "test", "inp"],
+                       help="'inp' simulates one fresh snapshot from the INP")
+    p_inf.add_argument("--test_data_path", default="datasets/synthctown.zip")
+    p_inf.add_argument("--test_input_path", default="inputs/synthctown.inp")
+    p_inf.add_argument("--test_removal", default="keep_junction",
+                       choices=["keep_all", "keep_list", "keep_junction",
+                                "reservoir", "tank"])
+    p_inf.add_argument("--observed", default="random",
+                       help="'random' (seeded draw at 1-mask_rate density), "
+                            "'sensors' (mysecrets plug-in), or comma-"
+                            "separated node names")
+    p_inf.add_argument("--num_snapshots", default=None, type=int)
+    p_inf.add_argument("--out_npz", default=None, type=str)
+    p_inf.add_argument("--out_csv", default=None, type=str)
+
     p_gen = sub.add_parser("generate", help="Monte-Carlo scenario generation")
     p_gen.add_argument("--config", required=True)
     from gnn_pressure_estimation_tpu.simgen.config import GenOptions
@@ -497,6 +612,7 @@ def main(argv=None):
     return {
         "train": cmd_train,
         "eval": cmd_eval,
+        "infer": cmd_infer,
         "generate": cmd_generate,
         "mkconfig": cmd_mkconfig,
         "netgen": cmd_netgen,

@@ -52,6 +52,25 @@ def test_cli_full_workflow(tmp_path):
                  "--std_dmd", "0.1", "--device", "cpu",
                  "--gpu_warmup_times", "0"]) == 0
 
+    # serving surface: reconstruct + export the full fields
+    assert main(["infer", "--model", "gatres_small",
+                 "--model_path", os.path.join(ckdir, cks[0]),
+                 "--test_data_path", zipf, "--test_input_path", inp,
+                 "--from_set", "test", "--observed", "random",
+                 "--mask_rate", "0.5", "--batch_size", "2",
+                 "--num_snapshots", "3", "--device", "cpu",
+                 "--out_npz", f"{d}/preds.npz",
+                 "--out_csv", f"{d}/preds.csv"]) == 0
+    import numpy as np
+
+    z = np.load(f"{d}/preds.npz")
+    assert z["pred"].shape[0] == 3 and np.isfinite(z["pred"]).all()
+    obs = z["observed"].astype(bool)
+    # observed nodes are served at their given (true) values exactly
+    np.testing.assert_allclose(z["pred"][:, obs], z["true"][:, obs],
+                               rtol=1e-5)
+    assert os.path.getsize(f"{d}/preds.csv") > 0
+
 def test_edge_attr_override_parsing():
     """--use_data_edge_attrs maps CLI strings onto the preset contract
     (reference train.py:592: 'diameter| length| None')."""
