@@ -387,3 +387,59 @@ def test_cpp_matches_python_headloss_models(model):
     assert rp.converged and rc.converged
     np.testing.assert_allclose(rc.head, rp.head, rtol=1e-6, atol=1e-5)
     np.testing.assert_allclose(rc.flow, rp.flow, rtol=1e-4, atol=1e-4)
+
+
+def test_parallel_links_share_matrix_slot():
+    """Two parallel pipes plus a pump between the SAME junction pair: the
+    assembled-CSR path must accumulate all of them into one off-diagonal
+    slot (regression for the sparse-Cholesky assembly, hydraulic.cpp
+    JuncSys/SparseChol). Flow must split across the parallel paths and both
+    backends must agree."""
+    txt = """
+[JUNCTIONS]
+ N1 5 0
+ N2 2 12
+[RESERVOIRS]
+ R1 60
+[PIPES]
+ P0 R1 N1 200 300 120 0 Open
+ P1 N1 N2 300 200 120 0 Open
+ P2 N1 N2 400 250 110 0 Open
+ P3 N1 N2 350 150 130 0 Open
+[OPTIONS]
+ UNITS LPS
+ HEADLOSS H-W
+[TIMES]
+ DURATION 0
+[END]
+"""
+    ns = build_state(parse_inp(txt))
+    rp, rc = both(ns)
+    assert rp.converged
+    # all three parallel pipes carry flow in the same direction
+    par = rp.flow[1:4]
+    assert np.all(par > 0)
+    # continuity at N2: parallel inflows sum to the demand (cfs space)
+    np.testing.assert_allclose(par.sum(), ns.demand[1], rtol=1e-6)
+
+
+def test_large_network_exact_solve_parity():
+    """Grid network at ~2.3k junctions: the minimum-degree sparse Cholesky
+    must stay exact (tight cpp-vs-py parity — both sides now solve
+    directly) and fast. Guards the 23k-node scaling fix (33 s Jacobi-CG →
+    sub-second direct factorization) at a suite-friendly size."""
+    import time
+
+    from gnn_pressure_estimation_tpu.simgen.netgen import make_wdn
+
+    wn = make_wdn(2300, 2, 6, 8, 4, seed=11, name="gridtown")
+    ns = build_state(wn)
+    t0 = time.time()
+    rc = solve(ns, backend="cpp")
+    dt = time.time() - t0
+    rp = solve(ns, backend="py")
+    assert rc.converged and rp.converged
+    np.testing.assert_allclose(rc.head, rp.head, rtol=1e-6, atol=1e-4)
+    np.testing.assert_allclose(rc.flow, rp.flow, rtol=1e-4, atol=2e-3)
+    # generous wall-clock bound: the old Jacobi-CG took ~3 s at this size
+    assert dt < 5.0, f"cpp solve took {dt:.1f}s at 2.3k junctions"
