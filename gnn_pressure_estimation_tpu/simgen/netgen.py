@@ -65,7 +65,10 @@ def make_wdn(
             for a, k1, k2, p in zip(amp, kx, ky, ph)
         )
 
-    # junction grid with jitter, trimmed to n_junctions
+    # junction grid with jitter, trimmed to n_junctions. Demands shrink with
+    # network size (large systems have lower per-node draw once the same
+    # city is modeled at finer granularity) so total demand stays servable.
+    dmd_scale = min(1.0, (600.0 / max(n_junctions, 1)) ** 0.5)
     coords = {}
     jids = []
     for i in range(n_junctions):
@@ -74,12 +77,13 @@ def make_wdn(
         y = r * spacing + rng.uniform(-0.25, 0.25) * spacing
         jid = f"J{i}"
         e = float(elev(x, y))
-        base = float(rng.uniform(0.1, 2.0))  # LPS-ish demands
+        base = float(rng.uniform(0.1, 2.0)) * dmd_scale  # LPS-ish demands
         wn.junctions.append(Junction(id=jid, elevation=round(e, 2),
                                      base_demand=round(base, 4)))
         coords[jid] = (round(x, 1), round(y, 1))
         jids.append(jid)
     wn.coordinates.update(coords)
+    total_dmd = float(sum(j.base_demand for j in wn.junctions))
 
     # grid edges + some diagonals; prune a fraction while keeping connectivity
     edges = []
@@ -126,11 +130,24 @@ def make_wdn(
         xb, yb = coords[jids[b]]
         return math.hypot(xa - xb, ya - yb)
 
+    # distribution pipes, with a trunk-main hierarchy on every ~8th grid
+    # line so large networks have the transmission capacity to carry their
+    # aggregate demand (uniform small mains collapse pressure at >5k nodes)
+    trunk_every = max(side // 12, 4)
+
+    def on_trunk(i):
+        r, c = divmod(i, side)
+        return r % trunk_every == 0 or c % trunk_every == 0
+
     for pid, (a, b) in enumerate(kept):
+        if on_trunk(a) and on_trunk(b):
+            dia = float(rng.choice([610, 762, 914, 1067]))
+        else:
+            dia = float(rng.choice([102, 152, 203, 254, 305, 406, 508, 610]))
         wn.pipes.append(Pipe(
             id=f"P{pid}", node1=jids[a], node2=jids[b],
             length=round(max(dist(a, b), 10.0) * rng.uniform(0.95, 1.3), 1),
-            diameter=round(float(rng.choice([102, 152, 203, 254, 305, 406, 508, 610])), 1),
+            diameter=round(dia, 1),
             roughness=round(float(rng.uniform(70, 140)), 1),
             minor_loss=0.0,
         ))
@@ -138,9 +155,13 @@ def make_wdn(
     elevations = np.array([j.elevation for j in wn.junctions])
     max_ele = float(elevations.max())
 
-    # reservoirs at the lowest corner(s), feeding through pump stations
+    # reservoirs at the lowest corner(s), feeding through pump stations.
+    # Station pumps are sized to the network: collectively ~1.4× the total
+    # base demand, so generation-time demand perturbations stay servable.
     low_order = np.argsort(elevations)
     pump_per_res = max(n_pumps // max(n_reservoirs, 1), 1)
+    n_station = min(n_pumps, pump_per_res * max(n_reservoirs, 1))
+    q_design = 1.4 * total_dmd / max(n_station, 1)
     curve_i = 0
     pump_i = 0
     for ri in range(n_reservoirs):
@@ -156,7 +177,7 @@ def make_wdn(
             if pump_i >= n_pumps:
                 break
             cid = f"PC{curve_i}"
-            q1 = rng.uniform(30, 120)   # LPS design flow
+            q1 = q_design * rng.uniform(0.8, 1.2)   # LPS design flow
             h1 = (max_ele - head) * rng.uniform(1.1, 1.4)
             wn.curves[cid] = [
                 (0.0, round(1.4 * h1, 1)),
@@ -245,6 +266,18 @@ def make_large(n_junctions: int = 5800, seed: int = 2) -> WaterNetwork:
     """Oosterbeek-scale (~5.8k nodes, reference GraphModels.py:140 constant)
     for SpMM stress benchmarks (BASELINE.json config 4)."""
     return make_wdn(n_junctions, 3, 18, 24, 12, seed=seed, name="bigtown")
+
+
+def make_mega(n_junctions: int = 23000, seed: int = 7) -> WaterNetwork:
+    """4× Oosterbeek (~23k junctions, ~41.5k links): the scale-stress network
+    for the banded/halo paths beyond anything the reference handles (its max
+    is the 5,855-node Oosterbeek constant, GraphModels.py:140). Deterministic
+    — synthesize on demand rather than committing the ~2.7 MB INP:
+
+        python -m gnn_pressure_estimation_tpu.cli netgen --out /tmp/meganet.inp \
+            --junctions 23000 --reservoirs 6 --tanks 40 --pumps 48 --valves 24 --seed 7
+    """
+    return make_wdn(n_junctions, 6, 40, 48, 24, seed=seed, name="meganet")
 
 
 if __name__ == "__main__":

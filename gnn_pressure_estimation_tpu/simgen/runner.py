@@ -45,6 +45,32 @@ _WORKER: dict = {}
 TOKEN_KEY = "token"  # reference ParamEnum.RANDOM_TOKEN zarr array name
 
 
+def mean_feature_corr(df: np.ndarray) -> float:
+    """Mean of the feature-correlation matrix (the reference's ``mcoef``
+    diagnostic, scenegenv7.py:668-699 uses ``np.corrcoef`` directly).
+
+    For wide matrices the n×n corrcoef is quadratic in nodes (a 23k-node
+    network would materialize a 4.2 GB matrix just to take its mean), so
+    past 2048 columns this uses the exact closed form instead: with columns
+    z-scored (ddof=1), mean_ij corr_ij = Σ_s (Σ_i z_si)² / ((S−1)·m²) over
+    the m nonconstant columns — identical to ``nanmean(corrcoef)`` because
+    NaN entries come exactly from the constant columns."""
+    df = np.asarray(df, float)
+    if df.shape[0] <= 1:
+        return 1.0
+    if df.shape[1] <= 2048:
+        with np.errstate(invalid="ignore", divide="ignore"):
+            return float(np.nanmean(np.corrcoef(df.T)))
+    sd = df.std(axis=0, ddof=1)
+    ok = sd > 0
+    m = int(ok.sum())
+    if m == 0:
+        return float("nan")
+    z = (df[:, ok] - df[:, ok].mean(axis=0)) / sd[ok]
+    s = z.sum(axis=1)
+    return float((s @ s) / (df.shape[0] - 1) / (m * m))
+
+
 def _worker_init(inp_text: str, cfg_path: str, opts: GenOptions):
     """Per-process executor construction (reference WDNRayExecutor.__init__
     loads the INP once per actor, Executorv7.py:86-134)."""
@@ -207,8 +233,8 @@ def generate(
             train_a, valid_a, test_a = a[:train_idx], a[train_idx:valid_idx], a[valid_idx:]
             w.create_group(key)
             df = train_a.astype(float)
+            feat_coef = mean_feature_corr(df)
             with np.errstate(invalid="ignore", divide="ignore"):
-                feat_coef = float(np.nanmean(np.corrcoef(df.T))) if df.shape[0] > 1 else 1.0
                 batch_coef = float(np.nanmean(np.corrcoef(df))) if df.shape[0] > 1 else 1.0
                 cv = float(np.mean(df.var(axis=-1) / df.mean(axis=-1)))
             w.set_attrs(key, {
@@ -262,8 +288,7 @@ def dump_debug(storage_dir: str, collected: dict, success: int, log_fn=print):
     for ax, key in zip(axes, keys):
         a = np.concatenate(collected[key], axis=0)[:success].astype(float)
         flat = a.ravel()
-        with np.errstate(invalid="ignore", divide="ignore"):
-            corr = float(np.nanmean(np.corrcoef(a.T))) if a.shape[0] > 1 else 1.0
+        corr = mean_feature_corr(a)
         log_fn(
             f"debug[{key}]: shape={a.shape} min={flat.min():.4g} "
             f"max={flat.max():.4g} mean={flat.mean():.4g} std={flat.std():.4g} "

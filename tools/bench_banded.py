@@ -67,6 +67,11 @@ def main():
     ap.add_argument("--acc", type=int, nargs="+", default=[None],
                     help="GNN_TPU_BAND_ACC values to sweep: 0 = v2 windowed-dx "
                          "backward, 1 = v3 sliding-accumulator backward")
+    ap.add_argument("--batch_small", type=int, default=8,
+                    help="batch for the small preset (drop below 8 on "
+                         ">10k-node networks: the XLA band path materializes "
+                         "[nB,B,BLK,W,H] logits)")
+    ap.add_argument("--batch_large", type=int, default=4)
     args = ap.parse_args()
 
     wn = parse_inp(args.net)
@@ -86,22 +91,23 @@ def main():
             os.environ["GNN_TPU_BAND_ACC"] = str(acc)
             acc_tag = f"-v{2 + acc}"
         for blk in args.blk:
+            bs, bl = args.batch_small, args.batch_large
             if args.preset in ("small", "both"):
                 for impl in args.impl or ("softmax", "band_factored"):
-                    run(f"small-b8-{impl}{acc_tag}",
+                    run(f"small-b{bs}-{impl}{acc_tag}",
                         GATRes(num_blocks=15, channels=32, attn_impl=impl),
-                        8, blk, 15, iters=args.iters)
+                        bs, blk, 15, iters=args.iters)
                 if not args.impl:
-                    run(f"small-b8-band_factored-bf16{acc_tag}",
+                    run(f"small-b{bs}-band_factored-bf16{acc_tag}",
                         GATRes(num_blocks=15, channels=32,
                                attn_impl="band_factored",
-                               attn_dtype=jnp.bfloat16), 8, blk, 15,
+                               attn_dtype=jnp.bfloat16), bs, blk, 15,
                         iters=args.iters)
             if args.preset in ("large", "both"):
                 for impl in args.impl or ("softmax", "band_factored"):
-                    run(f"large-b4-{impl}{acc_tag}",
+                    run(f"large-b{bl}-{impl}{acc_tag}",
                         GATRes(num_blocks=25, channels=128, attn_impl=impl),
-                        4, blk, 25, iters=max(args.iters // 2, 3))
+                        bl, blk, 25, iters=max(args.iters // 2, 3))
 
 
 if __name__ == "__main__":
