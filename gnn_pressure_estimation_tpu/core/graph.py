@@ -313,7 +313,21 @@ class GraphTemplate:
             )
         if mode == "banded":
             bl = self.band_layout(band_block)
-            band_attn = band_attn_dma = None
+            band_attn = band_attn_dma = band_spmm_dma = None
+            if os.environ.get("GNN_TPU_BAND_SPMM", "1") == "1":
+                # chunked-DMA band SpMM for the parameter-free aggregations
+                # (mean/GCN/Cheb/adj bands): removes the [nB,B,W,C] window
+                # materialization; the layer routes here only when C is
+                # lane-aligned (C % 128 == 0)
+                from gnn_pressure_estimation_tpu.ops.pallas.band_attention import (
+                    make_band_spmm_flash,
+                )
+                from gnn_pressure_estimation_tpu.ops.banded import halo_widths
+
+                U_sp, _ = halo_widths(bl.win_start, bl.W, bl.n_pad)
+                band_spmm_dma = make_band_spmm_flash(
+                    *bl.adj_mask.shape, U_sp
+                )
             if os.environ.get("GNN_TPU_BAND_ATTN", "1") == "1":
                 # default-on; the layer only routes here when its head·channel
                 # width fills the 128-lane grid (measured: GATRes-large
@@ -323,6 +337,7 @@ class GraphTemplate:
                     make_band_attention,
                     make_band_attention_acc,
                     make_band_attention_dma,
+                    make_band_attention_flash,
                 )
                 from gnn_pressure_estimation_tpu.ops.banded import halo_widths
 
@@ -338,12 +353,22 @@ class GraphTemplate:
                         if os.environ.get("GNN_TPU_BAND_ACC", "0") == "1"
                         else make_band_attention_dma
                     )
+                    if os.environ.get("GNN_TPU_BAND_FLASH", "") == "1":
+                        mk = make_band_attention_flash
                     band_attn_dma = mk(
                         *bl.adj_mask.shape, U, negative_slope=0.2
                     )
+                    if band_attn_dma is None:
+                        # BLK·W_pad past the v2/v3 VMEM guard (large-W
+                        # networks at BLK ≥ 256): the W-chunked streaming-
+                        # softmax kernel compiles at any size
+                        band_attn_dma = make_band_attention_flash(
+                            *bl.adj_mask.shape, U, negative_slope=0.2
+                        )
             dense_ops = {
                 "band_attn": band_attn,
                 "band_attn_dma": band_attn_dma,
+                "band_spmm_dma": band_spmm_dma,
                 "band_adj_mask": jnp.asarray(bl.adj_mask),
                 "band_mean": jnp.asarray(bl.mean_band),
                 "band_gcn": jnp.asarray(bl.gcn_band),
@@ -487,7 +512,8 @@ class GraphTemplate:
     meta_fields=["n_node", "n_edge", "n_graph", "nodes_per_graph", "axis_name",
                  "gather_dp", "gather_dp_sl", "fused_attn", "fused_factored",
                  "band_attn",
-                 "band_attn_dma", "band_win_start", "band_W", "band_n_pad"],
+                 "band_attn_dma", "band_spmm_dma",
+                 "band_win_start", "band_W", "band_n_pad"],
 )
 @dataclasses.dataclass(frozen=True)
 class BatchedGraph:
@@ -563,6 +589,9 @@ class BatchedGraph:
     # v2 variant: x windows DMA'd from the extended node array (no
     # materialized window tensor); preferred by the layer when lane-aligned
     band_attn_dma: Optional[Any] = None
+    # chunked-DMA band SpMM (make_band_spmm_flash) for the parameter-free
+    # band aggregations; zero band-cotangent by contract (graph constants)
+    band_spmm_dma: Optional[Any] = None
 
     @property
     def dense(self) -> bool:

@@ -61,9 +61,21 @@ def _windows(xb: jax.Array, graph: BatchedGraph) -> jax.Array:
 
 def _band_agg(band: jax.Array, x: jax.Array, graph: BatchedGraph) -> jax.Array:
     """Banded-dense aggregation: static window slices + batched matmul
-    (ops/banded.py). x is in perm+padded node space."""
+    (ops/banded.py). x is in perm+padded node space. When the chunked-DMA
+    SpMM kernel is attached and the channel width is lane-aligned, the
+    window tensor is never materialized (band weights are graph constants —
+    the kernel's zero band-cotangent is exact here)."""
     B, n_pad = graph.n_graph, graph.band_n_pad
     xb = x.reshape(B, n_pad, -1)
+    if graph.band_spmm_dma is not None and xb.shape[-1] % 128 == 0:
+        U, R = bops.halo_widths(graph.band_win_start, graph.band_W, n_pad)
+        if graph.halo:
+            from gnn_pressure_estimation_tpu.parallel.halo import halo_exchange
+
+            x_ext = halo_exchange(xb, U, R, graph.axis_name)
+        else:
+            x_ext = jnp.pad(xb, ((0, 0), (U, R), (0, 0)))
+        return graph.band_spmm_dma(band, x_ext).reshape(B * n_pad, -1)
     wins = _windows(xb, graph)
     return bops.band_spmm(band, wins).reshape(B * n_pad, -1)
 

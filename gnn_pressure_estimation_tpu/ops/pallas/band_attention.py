@@ -445,6 +445,491 @@ def make_band_attention_dma(
     return attend
 
 
+def make_band_attention_flash(
+    nB: int,
+    BLK: int,
+    W: int,
+    U: int,
+    negative_slope: float,
+    interpret: Optional[bool] = None,
+):
+    """v4 kernel: W-chunked streaming softmax (flash-attention style).
+
+    v2/v3 hold a full ``[BLK, W_pad]`` logits tile in VMEM, which caps
+    BLK·W_pad at the ~1 MB guard — at a 23k-node network (W = 1792) only
+    BLK 128 fits, and the window DMA then re-reads every node row
+    W/BLK = 14× per layer (measured 345 ms/step, ~9% of the compute
+    roofline).  This variant streams the window in ``W_CH``-wide chunks
+    with an online softmax (running row-max ``m``, denominator ``Z``, and
+    rescaled accumulator), so VMEM use is O(BLK·W_CH + BLK·H·C) and any
+    (BLK, W) combination compiles — larger BLK divides the window-read
+    redundancy.  The backward is the standard flash recompute: ``m``/``Z``
+    are saved from the forward, ``delta = Σ_c dO∘O`` is computed outside,
+    and each chunk reconstructs its attention slab exactly.
+
+    Public signature matches v2: ``attend(a_dst, a_src_win, x_ext,
+    adj_mask, mxu_bf16=False)`` with ``x_ext`` of ``n_ext = nB·BLK +
+    (W − BLK)`` rows; the wrapper pads rows/cols to W_pad internally.
+    Fully-masked (padded) band rows produce the same uniform-attention
+    values as v2 (never read back; zero upstream cotangent ⇒ zero grad).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    W_pad = _round_up(W, 128)
+    W_CH = next(c for c in (512, 256, 128) if W_pad % c == 0)
+    nW = W_pad // W_CH
+    slope = float(negative_slope)
+    n_ext = nB * BLK + (W - BLK)          # caller-visible row count (= v2)
+    n_ext_pad = nB * BLK + (W_pad - BLK)  # padded so chunk DMAs stay in range
+    MNEG = -3e38  # running-max init; exp(MNEG - m_new) underflows to 0
+
+    def _chunk_dma(x_hbm, xbuf, sem, slot, i, b, w):
+        return pltpu.make_async_copy(
+            x_hbm.at[b, pl.ds(i * BLK + w * W_CH, W_CH), :],
+            xbuf.at[slot],
+            sem.at[slot],
+        )
+
+    def _pipeline(x_hbm, xbuf, sem):
+        """Double-buffered chunk DMA across the flattened (i, b, w) order."""
+        B, nWp = pl.num_programs(1), pl.num_programs(2)
+        i, b, w = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+        t = (i * B + b) * nWp + w
+        slot = jax.lax.rem(t, 2)
+        nxt = jax.lax.rem(t + 1, 2)
+
+        @pl.when(t == 0)
+        def _():
+            _chunk_dma(x_hbm, xbuf, sem, slot, i, b, w).start()
+
+        @pl.when(t + 1 < pl.num_programs(0) * B * nWp)
+        def _():
+            t1 = t + 1
+            w1 = jax.lax.rem(t1, nWp)
+            b1 = jax.lax.rem(t1 // nWp, B)
+            i1 = t1 // (nWp * B)
+            _chunk_dma(x_hbm, xbuf, sem, nxt, i1, b1, w1).start()
+
+        _chunk_dma(x_hbm, xbuf, sem, slot, i, b, w).wait()
+        return xbuf[slot]
+
+    def _logits(adst_ref, asrc_ref, mk, h):
+        ad_col = adst_ref[0, 0][:, h : h + 1]         # [BLK, 1]
+        as_row = asrc_ref[0, 0][h : h + 1, :]         # [1, W_CH]
+        z = ad_col + as_row
+        z = jnp.where(z >= 0, z, slope * z)
+        return z * mk + (1.0 - mk) * NEG
+
+    def _tail_valid(w):
+        """[W_CH, 1] 0/1 row-validity for window cols ≥ W (v2 zeroes those
+        buffer rows; under chunked DMA they alias real rows of the extended
+        array, so zero them explicitly — keeps fully-masked padded band rows
+        bit-compatible with v2 and makes the full-W_pad dx fold exact)."""
+        gcol = w * W_CH + jax.lax.broadcasted_iota(jnp.int32, (W_CH, 1), 0)
+        return (gcol < W).astype(jnp.float32)
+
+    def _make_fwd(mx):
+        def cast(a):
+            return a if mx is None else a.astype(mx)
+
+        def fwd_kernel(adst_ref, asrc_ref, mask_ref, x_hbm,
+                       o_ref, m_ref, z_ref, xbuf, sem, acc, mrun, zrun):
+            nWp = pl.num_programs(2)
+            w = pl.program_id(2)
+            xw = _pipeline(x_hbm, xbuf, sem)          # [W_CH, HC]
+            xw = xw * _tail_valid(w)
+            mk = mask_ref[0]                          # [BLK, W_CH]
+            H = adst_ref.shape[-1]
+            C = xw.shape[-1] // H
+
+            @pl.when(w == 0)
+            def _():
+                mrun[...] = jnp.full(mrun.shape, MNEG, mrun.dtype)
+                zrun[...] = jnp.zeros(zrun.shape, zrun.dtype)
+                acc[...] = jnp.zeros(acc.shape, acc.dtype)
+
+            for h in range(H):
+                z = _logits(adst_ref, asrc_ref, mk, h)
+                mc = jnp.max(z, axis=1, keepdims=True)
+                mold = mrun[:, h : h + 1]
+                mnew = jnp.maximum(mold, mc)
+                alpha = jnp.exp(mold - mnew)          # [BLK, 1]
+                pch = jnp.exp(z - mnew)               # [BLK, W_CH]
+                zrun[:, h : h + 1] = (
+                    zrun[:, h : h + 1] * alpha
+                    + jnp.sum(pch, axis=1, keepdims=True)
+                )
+                acc[:, h * C : (h + 1) * C] = (
+                    acc[:, h * C : (h + 1) * C] * alpha
+                    + jnp.dot(cast(pch), cast(xw[:, h * C : (h + 1) * C]),
+                              preferred_element_type=jnp.float32)
+                )
+                mrun[:, h : h + 1] = mnew
+
+            @pl.when(w == nWp - 1)
+            def _():
+                for h in range(H):
+                    o_ref[0, 0, :, h * C : (h + 1) * C] = (
+                        acc[:, h * C : (h + 1) * C] / zrun[:, h : h + 1]
+                    )
+                m_ref[0, 0] = mrun[...]
+                z_ref[0, 0] = zrun[...]
+
+        return fwd_kernel
+
+    def _make_bwd(mx):
+        def cast(a):
+            return a if mx is None else a.astype(mx)
+
+        def bwd_kernel(adst_ref, asrc_ref, mask_ref, m_ref, z_ref, delta_ref,
+                       do_ref, x_hbm,
+                       dadst_ref, dasrc_ref, dxw_ref, xbuf, sem, dad):
+            nWp = pl.num_programs(2)
+            w = pl.program_id(2)
+            xw = _pipeline(x_hbm, xbuf, sem)
+            rv = _tail_valid(w)
+            xw = xw * rv
+            mk = mask_ref[0]
+            H = adst_ref.shape[-1]
+            C = xw.shape[-1] // H
+
+            @pl.when(w == 0)
+            def _():
+                dad[...] = jnp.zeros(dad.shape, dad.dtype)
+
+            for h in range(H):
+                z = _logits(adst_ref, asrc_ref, mk, h)
+                mrow = m_ref[0, 0][:, h : h + 1]
+                zrow = z_ref[0, 0][:, h : h + 1]
+                p = jnp.exp(z - mrow) / zrow          # exact recompute
+                do_h = do_ref[0, 0][:, h * C : (h + 1) * C]
+                x_h = xw[:, h * C : (h + 1) * C]
+                dxw_ref[0, 0, :, h * C : (h + 1) * C] = rv * jax.lax.dot_general(
+                    cast(p), cast(do_h), (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                dp = jax.lax.dot_general(
+                    cast(do_h), cast(x_h), (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                dz = p * (dp - delta_ref[0, 0][:, h : h + 1])
+                zpre = (adst_ref[0, 0][:, h : h + 1]
+                        + asrc_ref[0, 0][h : h + 1, :])
+                dz = jnp.where(zpre >= 0, dz, slope * dz)
+                dad[:, h : h + 1] += jnp.sum(dz, axis=1, keepdims=True)
+                dasrc_ref[0, 0, h : h + 1, :] = jnp.sum(
+                    dz, axis=0, keepdims=True
+                )
+
+            @pl.when(w == nWp - 1)
+            def _():
+                dadst_ref[0, 0] = dad[...]
+
+        return bwd_kernel
+
+    def _in_specs(H):
+        return [
+            pl.BlockSpec((1, 1, BLK, H), lambda i, b, w: (i, b, 0, 0)),
+            pl.BlockSpec((1, 1, H, W_CH), lambda i, b, w: (i, b, 0, w)),
+            pl.BlockSpec((1, BLK, W_CH), lambda i, b, w: (i, 0, w)),
+        ]
+
+    def _build_core(mx):
+        fwd_kernel = _make_fwd(mx)
+        bwd_kernel = _make_bwd(mx)
+
+        def call_fwd(adst_b, asrcT, x_flat, maskf):
+            B, H = adst_b.shape[1], adst_b.shape[-1]
+            HC = x_flat.shape[-1]
+            return pl.pallas_call(
+                fwd_kernel,
+                grid=(nB, B, nW),
+                in_specs=_in_specs(H) + [pl.BlockSpec(memory_space=pl.ANY)],
+                out_specs=[
+                    pl.BlockSpec((1, 1, BLK, HC), lambda i, b, w: (i, b, 0, 0)),
+                    pl.BlockSpec((1, 1, BLK, H), lambda i, b, w: (i, b, 0, 0)),
+                    pl.BlockSpec((1, 1, BLK, H), lambda i, b, w: (i, b, 0, 0)),
+                ],
+                out_shape=[
+                    jax.ShapeDtypeStruct((nB, B, BLK, HC), jnp.float32),
+                    jax.ShapeDtypeStruct((nB, B, BLK, H), jnp.float32),
+                    jax.ShapeDtypeStruct((nB, B, BLK, H), jnp.float32),
+                ],
+                scratch_shapes=[
+                    pltpu.VMEM((2, W_CH, HC), jnp.float32),
+                    pltpu.SemaphoreType.DMA((2,)),
+                    pltpu.VMEM((BLK, HC), jnp.float32),
+                    pltpu.VMEM((BLK, H), jnp.float32),
+                    pltpu.VMEM((BLK, H), jnp.float32),
+                ],
+                interpret=interpret,
+            )(adst_b, asrcT, maskf, x_flat)
+
+        def call_bwd(adst_b, asrcT, maskf, m, zd, delta, g, x_flat):
+            B, H = adst_b.shape[1], adst_b.shape[-1]
+            HC = x_flat.shape[-1]
+            return pl.pallas_call(
+                bwd_kernel,
+                grid=(nB, B, nW),
+                in_specs=_in_specs(H) + [
+                    pl.BlockSpec((1, 1, BLK, H), lambda i, b, w: (i, b, 0, 0)),
+                    pl.BlockSpec((1, 1, BLK, H), lambda i, b, w: (i, b, 0, 0)),
+                    pl.BlockSpec((1, 1, BLK, H), lambda i, b, w: (i, b, 0, 0)),
+                    pl.BlockSpec((1, 1, BLK, HC), lambda i, b, w: (i, b, 0, 0)),
+                    pl.BlockSpec(memory_space=pl.ANY),
+                ],
+                out_specs=[
+                    pl.BlockSpec((1, 1, BLK, H), lambda i, b, w: (i, b, 0, 0)),
+                    pl.BlockSpec((1, 1, H, W_CH), lambda i, b, w: (i, b, 0, w)),
+                    pl.BlockSpec((1, 1, W_CH, HC), lambda i, b, w: (i, b, w, 0)),
+                ],
+                out_shape=[
+                    jax.ShapeDtypeStruct((nB, B, BLK, H), jnp.float32),
+                    jax.ShapeDtypeStruct((nB, B, H, W_pad), jnp.float32),
+                    jax.ShapeDtypeStruct((nB, B, W_pad, HC), jnp.float32),
+                ],
+                scratch_shapes=[
+                    pltpu.VMEM((2, W_CH, HC), jnp.float32),
+                    pltpu.SemaphoreType.DMA((2,)),
+                    pltpu.VMEM((BLK, H), jnp.float32),
+                ],
+                interpret=interpret,
+            )(adst_b, asrcT, maskf, m, zd, delta, g, x_flat)
+
+        @jax.custom_vjp
+        def core(adst_b, asrcT, x_flat, maskf):
+            out, _, _ = call_fwd(adst_b, asrcT, x_flat, maskf)
+            return out
+
+        def fwd_fn(adst_b, asrcT, x_flat, maskf):
+            out, m, zd = call_fwd(adst_b, asrcT, x_flat, maskf)
+            return out, (adst_b, asrcT, x_flat, maskf, m, zd, out)
+
+        def bwd_fn(res, g):
+            adst_b, asrcT, x_flat, maskf, m, zd, out = res
+            B, H = adst_b.shape[1], adst_b.shape[-1]
+            HC = x_flat.shape[-1]
+            C = HC // H
+            # delta_i = dO_i · O_i per head (flash-backward identity for the
+            # softmax-VJP row term Σ_j dp_ij p_ij)
+            delta = jnp.sum(
+                (g * out).reshape(nB, B, BLK, H, C), axis=-1
+            )
+            d_adst, d_asrc, dxw = call_bwd(
+                adst_b, asrcT, maskf, m, zd, delta, g, x_flat
+            )
+            # fold the windowed dx back onto the extended array with a scan
+            # (nB=180 unrolled slice-adds at 23k nodes would bloat the HLO)
+            dx0 = jnp.zeros_like(x_flat)
+
+            def fold(dx, iw):
+                i, dxw_i = iw
+                cur = jax.lax.dynamic_slice(
+                    dx, (0, i * BLK, 0), (B, W_pad, HC)
+                )
+                return jax.lax.dynamic_update_slice(
+                    dx, cur + dxw_i, (0, i * BLK, 0)
+                ), None
+
+            dx, _ = jax.lax.scan(
+                fold, dx0, (jnp.arange(nB), dxw.transpose(0, 1, 2, 3))
+            )
+            return d_adst, d_asrc, dx, jnp.zeros_like(maskf)
+
+        core.defvjp(fwd_fn, bwd_fn)
+        return core
+
+    cores: dict = {}
+
+    def attend(a_dst, a_src_win, x_ext, adj_mask, mxu_bf16: bool = False):
+        """Same contract as v2's ``attend``: a_dst [B, n_pad, H] ·
+        a_src_win [nB, B, W, H] · x_ext [B, n_ext, H, C] · adj_mask
+        [nB, BLK, W] → [B, n_pad, H, C]."""
+        B, _n_ext, H, C = x_ext.shape
+        assert _n_ext == n_ext, (x_ext.shape, n_ext)
+        assert (H * C) % 128 == 0
+        mx = jnp.bfloat16 if mxu_bf16 else None
+        if mx not in cores:
+            cores[mx] = _build_core(mx)
+        adst_b = a_dst.reshape(B, nB, BLK, H).transpose(1, 0, 2, 3)
+        asrcT = jnp.pad(
+            a_src_win.transpose(0, 1, 3, 2), ((0, 0),) * 3 + ((0, W_pad - W),)
+        )
+        maskf = jnp.pad(
+            adj_mask.astype(jnp.float32), ((0, 0), (0, 0), (0, W_pad - W))
+        )
+        x_flat = jnp.pad(
+            x_ext.reshape(B, n_ext, H * C),
+            ((0, 0), (0, n_ext_pad - n_ext), (0, 0)),
+        )
+        out = cores[mx](adst_b, asrcT, x_flat, maskf)  # [nB, B, BLK, HC]
+        return out.transpose(1, 0, 2, 3).reshape(B, nB * BLK, H, C)
+
+    return attend
+
+
+def make_band_spmm_flash(
+    nB: int,
+    BLK: int,
+    W: int,
+    U: int,
+    interpret: Optional[bool] = None,
+):
+    """Chunked-DMA banded SpMM: ``out[i·BLK+r] = Σ_j band[i,r,j] ·
+    x_ext[i·BLK+j]`` without materializing the ``[nB, B, W, C]`` window
+    tensor the XLA band path builds (ops/banded.py ``band_windows`` +
+    ``band_spmm``; ~330 MB/layer at 23k-node scale).  Serves the
+    parameter-free aggregations (mean conv, GCN/Cheb propagation, adjacency
+    sum) whose band weights are graph *constants* — the custom VJP therefore
+    returns a zero cotangent for ``band`` (do NOT route trainable band
+    weights through this kernel) and an exact windowed-dx fold for ``x``.
+
+    Returns ``spmm(band, x_ext) -> [B, n_pad, C]`` with ``band
+    [nB, BLK, W]`` and ``x_ext [B, n_ext, C]``; requires C % 128 == 0
+    (lane-aligned chunk DMA rows).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    W_pad = _round_up(W, 128)
+    W_CH = next(c for c in (512, 256, 128) if W_pad % c == 0)
+    nW = W_pad // W_CH
+    n_ext = nB * BLK + (W - BLK)
+    n_ext_pad = nB * BLK + (W_pad - BLK)
+
+    def _chunk_dma(x_hbm, xbuf, sem, slot, i, b, w):
+        return pltpu.make_async_copy(
+            x_hbm.at[b, pl.ds(i * BLK + w * W_CH, W_CH), :],
+            xbuf.at[slot],
+            sem.at[slot],
+        )
+
+    def _pipeline(x_hbm, xbuf, sem):
+        B, nWp = pl.num_programs(1), pl.num_programs(2)
+        i, b, w = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+        t = (i * B + b) * nWp + w
+        slot = jax.lax.rem(t, 2)
+        nxt = jax.lax.rem(t + 1, 2)
+
+        @pl.when(t == 0)
+        def _():
+            _chunk_dma(x_hbm, xbuf, sem, slot, i, b, w).start()
+
+        @pl.when(t + 1 < pl.num_programs(0) * B * nWp)
+        def _():
+            t1 = t + 1
+            w1 = jax.lax.rem(t1, nWp)
+            b1 = jax.lax.rem(t1 // nWp, B)
+            i1 = t1 // (nWp * B)
+            _chunk_dma(x_hbm, xbuf, sem, nxt, i1, b1, w1).start()
+
+        _chunk_dma(x_hbm, xbuf, sem, slot, i, b, w).wait()
+        return xbuf[slot]
+
+    def fwd_kernel(band_ref, x_hbm, o_ref, xbuf, sem, acc):
+        nWp = pl.num_programs(2)
+        w = pl.program_id(2)
+        xw = _pipeline(x_hbm, xbuf, sem)              # [W_CH, C]
+
+        @pl.when(w == 0)
+        def _():
+            acc[...] = jnp.zeros(acc.shape, acc.dtype)
+
+        # band pad cols (≥ W) are zero, so tail x rows carry zero weight
+        acc[...] += jnp.dot(band_ref[0], xw,
+                            preferred_element_type=jnp.float32)
+
+        @pl.when(w == nWp - 1)
+        def _():
+            o_ref[0, 0] = acc[...]
+
+    def bwd_kernel(band_ref, do_ref, dxw_ref):
+        # dx window chunk = band_chunkᵀ @ dO (band tail cols zero ⇒ dxw tail
+        # rows zero ⇒ the full-W_pad fold outside is exact). No DMA needed:
+        # everything is block-mapped.
+        dxw_ref[0, 0] = jax.lax.dot_general(
+            band_ref[0], do_ref[0, 0], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    def _call_fwd(bandp, x_flat):
+        B = x_flat.shape[0]
+        C = x_flat.shape[-1]
+        return pl.pallas_call(
+            fwd_kernel,
+            grid=(nB, B, nW),
+            in_specs=[
+                pl.BlockSpec((1, BLK, W_CH), lambda i, b, w: (i, 0, w)),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec((1, 1, BLK, C), lambda i, b, w: (i, b, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((nB, B, BLK, C), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((2, W_CH, C), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((BLK, C), jnp.float32),
+            ],
+            interpret=interpret,
+        )(bandp, x_flat)
+
+    @jax.custom_vjp
+    def core(bandp, x_flat):
+        return _call_fwd(bandp, x_flat)
+
+    def fwd_fn(bandp, x_flat):
+        return _call_fwd(bandp, x_flat), bandp
+
+    def bwd_fn(res, g):
+        bandp = res
+        B = g.shape[1]
+        C = g.shape[-1]
+        dxw = pl.pallas_call(
+            bwd_kernel,
+            grid=(nB, B, nW),
+            in_specs=[
+                pl.BlockSpec((1, BLK, W_CH), lambda i, b, w: (i, 0, w)),
+                pl.BlockSpec((1, 1, BLK, C), lambda i, b, w: (i, b, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 1, W_CH, C), lambda i, b, w: (i, b, w, 0)),
+            out_shape=jax.ShapeDtypeStruct((nB, B, W_pad, C), jnp.float32),
+            interpret=interpret,
+        )(bandp, g)
+        dx0 = jnp.zeros((B, n_ext_pad, C), jnp.float32)
+
+        def fold(dx, iw):
+            i, dxw_i = iw
+            cur = jax.lax.dynamic_slice(dx, (0, i * BLK, 0), (B, W_pad, C))
+            return jax.lax.dynamic_update_slice(
+                dx, cur + dxw_i, (0, i * BLK, 0)
+            ), None
+
+        dx, _ = jax.lax.scan(fold, dx0, (jnp.arange(nB), dxw))
+        # band weights are graph constants (mean/gcn/cheb/adj bands) — zero
+        # cotangent by contract
+        return jnp.zeros_like(bandp), dx
+
+    core.defvjp(fwd_fn, bwd_fn)
+
+    def spmm(band, x_ext):
+        """band [nB, BLK, W] · x_ext [B, n_ext, C] → [B, n_pad, C]."""
+        B, _n_ext, C = x_ext.shape
+        assert _n_ext == n_ext, (x_ext.shape, n_ext)
+        assert C % 128 == 0
+        bandp = jnp.pad(
+            band.astype(jnp.float32), ((0, 0), (0, 0), (0, W_pad - W))
+        )
+        x_flat = jnp.pad(x_ext, ((0, 0), (0, n_ext_pad - n_ext), (0, 0)))
+        out = core(bandp, x_flat)                     # [nB, B, BLK, C]
+        return out.transpose(1, 0, 2, 3).reshape(B, nB * BLK, C)
+
+    return spmm
+
+
 def make_band_attention_acc(
     nB: int,
     BLK: int,

@@ -88,6 +88,7 @@ class HaloPartition:
     # variant reads x windows straight from the halo-extended array.
     band_attn: object = None
     band_attn_dma: object = None
+    band_spmm_dma: object = None
 
     def local_graph(self, arrs: dict, n_graph: int) -> BatchedGraph:
         """Device-local BatchedGraph from [1, nbL, BLK, W] sliced stacks."""
@@ -114,6 +115,7 @@ class HaloPartition:
             band_n_pad=self.chunk,
             band_attn=self.band_attn,
             band_attn_dma=self.band_attn_dma,
+            band_spmm_dma=self.band_spmm_dma,
         )
 
 
@@ -144,12 +146,19 @@ def build_halo_partition(template: GraphTemplate, gp: int) -> HaloPartition:
         "cheb_band": pad_stack(bl.cheb_band),
         "adj_band": pad_stack(bl.adj_band),
     }
-    band_attn = band_attn_dma = None
+    band_attn = band_attn_dma = band_spmm_dma = None
+    if os.environ.get("GNN_TPU_BAND_SPMM", "1") == "1":
+        from gnn_pressure_estimation_tpu.ops.pallas.band_attention import (
+            make_band_spmm_flash,
+        )
+
+        band_spmm_dma = make_band_spmm_flash(nbL, BLK, W, U)
     if os.environ.get("GNN_TPU_BAND_ATTN", "1") == "1":
         from gnn_pressure_estimation_tpu.ops.pallas.band_attention import (
             make_band_attention,
             make_band_attention_acc,
             make_band_attention_dma,
+            make_band_attention_flash,
         )
 
         band_attn = make_band_attention(nbL, BLK, W, negative_slope=0.2)
@@ -159,10 +168,17 @@ def build_halo_partition(template: GraphTemplate, gp: int) -> HaloPartition:
                 if os.environ.get("GNN_TPU_BAND_ACC", "0") == "1"
                 else make_band_attention_dma
             )
+            if os.environ.get("GNN_TPU_BAND_FLASH", "") == "1":
+                mk = make_band_attention_flash
             band_attn_dma = mk(nbL, BLK, W, U, negative_slope=0.2)
+            if band_attn_dma is None:
+                # past the v2/v3 VMEM guard: W-chunked streaming kernel
+                band_attn_dma = make_band_attention_flash(
+                    nbL, BLK, W, U, negative_slope=0.2
+                )
     return HaloPartition(
         gp=gp, nbL=nbL, BLK=BLK, W=W, U=U, R=R, chunk=chunk,
         n_pad_dist=gp * chunk, n_orig=template.n_node,
         perm=bl.perm, band_arrays=band_arrays, band_attn=band_attn,
-        band_attn_dma=band_attn_dma,
+        band_attn_dma=band_attn_dma, band_spmm_dma=band_spmm_dma,
     )

@@ -479,3 +479,90 @@ def test_fused_attention_kernel_parity(rng):
     g2 = jax.grad(loss)(params, g_fused)
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_band_attention_flash_matches_dma(rng):
+    """v4 (W-chunked streaming softmax) == v2, fwd + all input grads,
+    across shapes incl. multi-chunk windows (W_pad > 128 forces several
+    chunks at the test's 128-wide minimum chunk), single-block layouts,
+    and fully-masked padded rows."""
+    import jax
+    import jax.numpy as jnp
+    from gnn_pressure_estimation_tpu.ops.pallas.band_attention import (
+        make_band_attention_dma,
+        make_band_attention_flash,
+    )
+
+    for nB, B, BLK, W, H, C in [
+        (3, 2, 16, 200, 2, 64),   # W_pad 256 → 2 chunks of 128
+        (2, 1, 8, 520, 1, 128),   # W_pad 640 → 5 chunks of 128
+        (1, 2, 16, 40, 2, 64),    # single block, single chunk
+    ]:
+        U = (W - BLK) // 2
+        n_pad, n_ext = nB * BLK, nB * BLK + W - BLK
+        adj = jnp.asarray(rng.random((nB, BLK, W)) < 0.25)
+        # leave one band row fully masked → uniform-attention padded row
+        adj = adj.at[0, 0, :].set(False)
+        a_dst = jnp.asarray(
+            rng.standard_normal((B, n_pad, H)).astype(np.float32))
+        a_src = jnp.asarray(
+            rng.standard_normal((nB, B, W, H)).astype(np.float32))
+        x_ext = jnp.asarray(
+            rng.standard_normal((B, n_ext, H, C)).astype(np.float32))
+        v2 = make_band_attention_dma(nB, BLK, W, U, 0.2, interpret=True)
+        v4 = make_band_attention_flash(nB, BLK, W, U, 0.2, interpret=True)
+        # fp-only deltas from the online-softmax accumulation order; same
+        # tolerance class as the v2-vs-XLA band parity tests above
+        np.testing.assert_allclose(
+            np.asarray(v4(a_dst, a_src, x_ext, adj)),
+            np.asarray(v2(a_dst, a_src, x_ext, adj)), rtol=1e-5, atol=1e-6)
+
+        def loss(f):
+            return lambda args: jnp.sum(jnp.tanh(f(*args, adj)))
+
+        g2 = jax.grad(loss(v2))((a_dst, a_src, x_ext))
+        g4 = jax.grad(loss(v4))((a_dst, a_src, x_ext))
+        for a, b in zip(g4, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
+
+
+def test_band_spmm_flash_matches_xla(rng):
+    """Chunked-DMA band SpMM == band_windows+band_spmm, fwd + x grads
+    (band cotangent is zero by contract — graph-constant weights)."""
+    import jax
+    import jax.numpy as jnp
+    from gnn_pressure_estimation_tpu.ops import banded as bops
+    from gnn_pressure_estimation_tpu.ops.pallas.band_attention import (
+        make_band_spmm_flash,
+    )
+
+    for nB, B, BLK, W, C in [(3, 2, 16, 200, 128), (1, 2, 16, 40, 128),
+                             (2, 1, 8, 300, 256)]:
+        U = (W - BLK) // 2
+        n_pad, n_ext = nB * BLK, nB * BLK + W - BLK
+        win_start = tuple(b * BLK - U for b in range(nB))
+        band = jnp.asarray(
+            (rng.random((nB, BLK, W)) < 0.3).astype(np.float32)
+            * rng.random((nB, BLK, W)).astype(np.float32))
+        xb = jnp.asarray(rng.standard_normal((B, n_pad, C)).astype(np.float32))
+        wins = bops.band_windows(xb, win_start, W)
+        ref = bops.band_spmm(band, wins)
+        spmm = make_band_spmm_flash(nB, BLK, W, U, interpret=True)
+        x_ext = jnp.pad(xb, ((0, 0), (U, W - U - BLK), (0, 0)))
+        got = spmm(band, x_ext)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-6)
+
+        def loss_ref(x):
+            return jnp.sum(jnp.tanh(bops.band_spmm(
+                band, bops.band_windows(x, win_start, W))))
+
+        def loss_ker(x):
+            xe = jnp.pad(x, ((0, 0), (U, W - U - BLK), (0, 0)))
+            return jnp.sum(jnp.tanh(spmm(band, xe)))
+
+        g_ref = jax.grad(loss_ref)(xb)
+        g_ker = jax.grad(loss_ker)(xb)
+        np.testing.assert_allclose(np.asarray(g_ker), np.asarray(g_ref),
+                                   rtol=1e-4, atol=1e-5)
