@@ -478,8 +478,13 @@ def make_band_attention_flash(
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    W_pad = _round_up(W, 128)
-    W_CH = next(c for c in (512, 256, 128) if W_pad % c == 0)
+    # Wide chunks matter more than tight W padding: W_pad rounds UP to the
+    # chunk width (tail columns are masked/zeroed), because forcing
+    # W_CH | round_up(W, 128) collapses to 128-wide chunks on most real
+    # layouts (meganet BLK 256: W 1920 → 15 chunks of 128, measured 550 ms
+    # vs 293 ms at 4–5 wide chunks).
+    W_CH = 512 if W > 384 else _round_up(W, 128)
+    W_pad = _round_up(W, W_CH)
     nW = W_pad // W_CH
     slope = float(negative_slope)
     n_ext = nB * BLK + (W - BLK)          # caller-visible row count (= v2)
@@ -796,8 +801,9 @@ def make_band_spmm_flash(
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    W_pad = _round_up(W, 128)
-    W_CH = next(c for c in (512, 256, 128) if W_pad % c == 0)
+    # same wide-chunk rule as make_band_attention_flash (see comment there)
+    W_CH = 512 if W > 384 else _round_up(W, 128)
+    W_pad = _round_up(W, W_CH)
     nW = W_pad // W_CH
     n_ext = nB * BLK + (W - BLK)
     n_ext_pad = nB * BLK + (W_pad - BLK)

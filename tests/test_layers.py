@@ -482,10 +482,15 @@ def test_fused_attention_kernel_parity(rng):
 
 
 def test_band_attention_flash_matches_dma(rng):
-    """v4 (W-chunked streaming softmax) == v2, fwd + all input grads,
-    across shapes incl. multi-chunk windows (W_pad > 128 forces several
-    chunks at the test's 128-wide minimum chunk), single-block layouts,
-    and fully-masked padded rows."""
+    """v4 (W-chunked streaming softmax) == v2 on all rows with ≥1 valid
+    mask entry, fwd + all input grads, across shapes incl. multi-chunk
+    windows, single-block layouts, and a fully-masked padded row.
+
+    Fully-masked rows are compared only for finiteness: their defined-but-
+    never-read-back uniform-attention value is 1/W_pad, and the two kernels
+    pad W differently (v4 rounds W up to the chunk width). In production
+    those rows carry zero upstream cotangent (the loss masks them), which
+    the grad leg mirrors by weighting the loss with the valid-row mask."""
     import jax
     import jax.numpy as jnp
     from gnn_pressure_estimation_tpu.ops.pallas.band_attention import (
@@ -494,8 +499,8 @@ def test_band_attention_flash_matches_dma(rng):
     )
 
     for nB, B, BLK, W, H, C in [
-        (3, 2, 16, 200, 2, 64),   # W_pad 256 → 2 chunks of 128
-        (2, 1, 8, 520, 1, 128),   # W_pad 640 → 5 chunks of 128
+        (3, 2, 16, 200, 2, 64),   # multiple chunks
+        (2, 1, 8, 520, 1, 128),   # W > chunk width → wide-chunk rule
         (1, 2, 16, 40, 2, 64),    # single block, single chunk
     ]:
         U = (W - BLK) // 2
@@ -503,6 +508,8 @@ def test_band_attention_flash_matches_dma(rng):
         adj = jnp.asarray(rng.random((nB, BLK, W)) < 0.25)
         # leave one band row fully masked → uniform-attention padded row
         adj = adj.at[0, 0, :].set(False)
+        valid = np.asarray(adj).any(axis=2).reshape(-1)        # [n_pad]
+        vmask = jnp.asarray(valid, jnp.float32)[None, :, None, None]
         a_dst = jnp.asarray(
             rng.standard_normal((B, n_pad, H)).astype(np.float32))
         a_src = jnp.asarray(
@@ -511,14 +518,16 @@ def test_band_attention_flash_matches_dma(rng):
             rng.standard_normal((B, n_ext, H, C)).astype(np.float32))
         v2 = make_band_attention_dma(nB, BLK, W, U, 0.2, interpret=True)
         v4 = make_band_attention_flash(nB, BLK, W, U, 0.2, interpret=True)
+        o2 = np.asarray(v2(a_dst, a_src, x_ext, adj))
+        o4 = np.asarray(v4(a_dst, a_src, x_ext, adj))
+        assert np.isfinite(o4).all()
         # fp-only deltas from the online-softmax accumulation order; same
         # tolerance class as the v2-vs-XLA band parity tests above
-        np.testing.assert_allclose(
-            np.asarray(v4(a_dst, a_src, x_ext, adj)),
-            np.asarray(v2(a_dst, a_src, x_ext, adj)), rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(o4[:, valid], o2[:, valid],
+                                   rtol=1e-5, atol=1e-6)
 
         def loss(f):
-            return lambda args: jnp.sum(jnp.tanh(f(*args, adj)))
+            return lambda args: jnp.sum(jnp.tanh(f(*args, adj)) * vmask)
 
         g2 = jax.grad(loss(v2))((a_dst, a_src, x_ext))
         g4 = jax.grad(loss(v4))((a_dst, a_src, x_ext))
