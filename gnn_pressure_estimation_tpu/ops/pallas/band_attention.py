@@ -445,6 +445,56 @@ def make_band_attention_dma(
     return attend
 
 
+def _chunk_width(W: int, BLK: int) -> int:
+    """Streaming-chunk width for the W-chunked kernels: as wide as a
+    [BLK, W_CH] f32 slab ≤ 1 MB affords, minimum 128.  The *backward*
+    keeps ~4 such slabs live (z, p, dp, dz) plus the x buffers; a 2 MB
+    slab (BLK 512 × W_CH 1024) measured 19 MB scoped VMEM and failed to
+    compile, so 1 MB is the ceiling."""
+    if W > 768:
+        ch = 1024
+    elif W > 384:
+        ch = 512
+    else:
+        return _round_up(W, 128)
+    while BLK * ch * 4 > (1 << 20) and ch > 128:
+        ch //= 2
+    return ch
+
+
+def _fold_windows_blocked(dxw: jax.Array, BLK: int, n_ext_pad: int) -> jax.Array:
+    """Overlap-add of windowed dx cotangents onto the extended array.
+
+    ``dxw[i, :, c]`` contributes to extended row ``i·BLK + c``.  With
+    ``K = W_pad // BLK`` (integral: both are powers of two ≤ the chunk
+    width), window column block ``j`` of window ``i`` lands exactly on
+    extended block ``i + j`` — so the fold is K parallel shifted adds of
+    ``[nB, B, BLK, C]`` slabs instead of an nB-step serial scan of
+    dynamic-update-slices (nB reaches ~180 at 23k nodes; the serial chain
+    is latency-bound)."""
+    nB, B, W_pad, C = dxw.shape
+    K = W_pad // BLK
+    if K * BLK != W_pad:
+        # non-power-of-two BLK (e.g. 192): serial dynamic-update-slice fold
+        dx0 = jnp.zeros((B, n_ext_pad, C), dxw.dtype)
+
+        def fold(dx, iw):
+            i, dxw_i = iw
+            cur = jax.lax.dynamic_slice(dx, (0, i * BLK, 0), (B, W_pad, C))
+            return jax.lax.dynamic_update_slice(
+                dx, cur + dxw_i, (0, i * BLK, 0)
+            ), None
+
+        dx, _ = jax.lax.scan(fold, dx0, (jnp.arange(nB), dxw))
+        return dx
+    dxw_r = dxw.reshape(nB, B, K, BLK, C)
+    acc = jnp.zeros((nB + K, B, BLK, C), dxw.dtype)
+    for j in range(K):
+        acc = acc.at[j : j + nB].add(dxw_r[:, :, j])
+    dx = acc.transpose(1, 0, 2, 3).reshape(B, (nB + K) * BLK, C)
+    return dx[:, :n_ext_pad]
+
+
 def make_band_attention_flash(
     nB: int,
     BLK: int,
@@ -482,8 +532,10 @@ def make_band_attention_flash(
     # chunk width (tail columns are masked/zeroed), because forcing
     # W_CH | round_up(W, 128) collapses to 128-wide chunks on most real
     # layouts (meganet BLK 256: W 1920 → 15 chunks of 128, measured 550 ms
-    # vs 293 ms at 4–5 wide chunks).
-    W_CH = 512 if W > 384 else _round_up(W, 128)
+    # vs 293 ms at 4–5 wide chunks).  Grid-iteration overhead (~9 µs/cell
+    # measured at 23k nodes) dominates past ~300 cells, so prefer the
+    # widest chunk the VMEM budget allows.
+    W_CH = _chunk_width(W, BLK)
     W_pad = _round_up(W, W_CH)
     nW = W_pad // W_CH
     slope = float(negative_slope)
@@ -726,22 +778,7 @@ def make_band_attention_flash(
             d_adst, d_asrc, dxw = call_bwd(
                 adst_b, asrcT, maskf, m, zd, delta, g, x_flat
             )
-            # fold the windowed dx back onto the extended array with a scan
-            # (nB=180 unrolled slice-adds at 23k nodes would bloat the HLO)
-            dx0 = jnp.zeros_like(x_flat)
-
-            def fold(dx, iw):
-                i, dxw_i = iw
-                cur = jax.lax.dynamic_slice(
-                    dx, (0, i * BLK, 0), (B, W_pad, HC)
-                )
-                return jax.lax.dynamic_update_slice(
-                    dx, cur + dxw_i, (0, i * BLK, 0)
-                ), None
-
-            dx, _ = jax.lax.scan(
-                fold, dx0, (jnp.arange(nB), dxw.transpose(0, 1, 2, 3))
-            )
+            dx = _fold_windows_blocked(dxw, BLK, n_ext_pad)
             return d_adst, d_asrc, dx, jnp.zeros_like(maskf)
 
         core.defvjp(fwd_fn, bwd_fn)
@@ -802,7 +839,7 @@ def make_band_spmm_flash(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     # same wide-chunk rule as make_band_attention_flash (see comment there)
-    W_CH = 512 if W > 384 else _round_up(W, 128)
+    W_CH = _chunk_width(W, BLK)
     W_pad = _round_up(W, W_CH)
     nW = W_pad // W_CH
     n_ext = nB * BLK + (W - BLK)
@@ -905,16 +942,7 @@ def make_band_spmm_flash(
             out_shape=jax.ShapeDtypeStruct((nB, B, W_pad, C), jnp.float32),
             interpret=interpret,
         )(bandp, g)
-        dx0 = jnp.zeros((B, n_ext_pad, C), jnp.float32)
-
-        def fold(dx, iw):
-            i, dxw_i = iw
-            cur = jax.lax.dynamic_slice(dx, (0, i * BLK, 0), (B, W_pad, C))
-            return jax.lax.dynamic_update_slice(
-                dx, cur + dxw_i, (0, i * BLK, 0)
-            ), None
-
-        dx, _ = jax.lax.scan(fold, dx0, (jnp.arange(nB), dxw))
+        dx = _fold_windows_blocked(dxw, BLK, n_ext_pad)
         # band weights are graph constants (mean/gcn/cheb/adj bands) — zero
         # cotangent by contract
         return jnp.zeros_like(bandp), dx
