@@ -575,3 +575,21 @@ def test_band_spmm_flash_matches_xla(rng):
         g_ker = jax.grad(loss_ker)(xb)
         np.testing.assert_allclose(np.asarray(g_ker), np.asarray(g_ref),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_chunk_width_budget():
+    """_chunk_width keeps the [BLK, W_CH] slab ≤ 1 MB (the backward holds
+    ~4 live slabs; 2 MB slabs measured 19 MB scoped VMEM and failed to
+    compile on v5e) while preferring the widest chunk under that cap."""
+    from gnn_pressure_estimation_tpu.ops.pallas.band_attention import (
+        _chunk_width,
+    )
+
+    assert _chunk_width(1792, 128) == 1024   # 512 KB slab
+    assert _chunk_width(2048, 256) == 1024   # exactly 1 MB
+    assert _chunk_width(2048, 512) == 512    # 1 MB at 512 wide
+    assert _chunk_width(2432, 1024) == 256   # big BLK → narrow chunks
+    assert _chunk_width(200, 64) == 256      # small W: round_up(W, 128)
+    assert _chunk_width(40, 16) == 128
+    for W, BLK in [(1792, 128), (2048, 512), (2432, 1024)]:
+        assert BLK * _chunk_width(W, BLK) * 4 <= (1 << 20)
