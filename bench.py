@@ -43,6 +43,8 @@ import numpy as np
 PROBE_TIMEOUT_S = 75
 PROBE_BACKOFFS_S = (0, 15, 45, 90)  # sleep before each probe attempt
 RUN_TIMEOUT_S = 1500  # first compile of the step can take minutes cold
+N_RUNS = 3            # fresh-process measurements aggregated into the line
+MAX_ATTEMPTS = 5      # total subprocess attempts to collect N_RUNS values
 
 
 def _probe_backend() -> tuple[bool, str]:
@@ -87,7 +89,17 @@ def orchestrate() -> int:
         _emit_failure(f"TPU relay never initialized: {last}")
         return 1
 
-    for attempt in range(2):
+    # Variance protocol: N_RUNS independent fresh-process measurements.  A
+    # single process — even with adaptive best-of-k windows — is hostage to
+    # that process's draw of relay/chip state (recorded captures span
+    # 375-410M edges/s, ~9%, across rounds on identical code), so the
+    # headline line reports the cross-process MEDIAN plus the relative
+    # spread (max-min)/median, making round-over-round comparisons
+    # interpretable: a regression is real only if it exceeds the spread.
+    results = []
+    for attempt in range(MAX_ATTEMPTS):
+        if len(results) >= N_RUNS:
+            break
         try:
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--run"],
@@ -95,18 +107,48 @@ def orchestrate() -> int:
             )
         except subprocess.TimeoutExpired:
             last = f"bench run hung >{RUN_TIMEOUT_S}s (killed)"
+            print(f"# attempt {attempt + 1} failed: {last}", file=sys.stderr)
             continue
         sys.stderr.write(r.stderr or "")
         json_lines = [ln for ln in (r.stdout or "").splitlines()
                       if ln.lstrip().startswith("{")]
         if r.returncode == 0 and json_lines:
-            print(json_lines[-1])
-            return 0
+            try:
+                rec = json.loads(json_lines[-1])
+            except json.JSONDecodeError:
+                rec = {}
+            if rec.get("value"):
+                results.append(rec)
+                print(f"# run {len(results)}/{N_RUNS}: "
+                      f"{rec['value'] / 1e6:.1f}M edges/s", file=sys.stderr)
+                continue
         tail = (r.stderr or r.stdout).strip().splitlines()[-1:]
         last = f"bench run rc={r.returncode}: {' '.join(tail)[:300]}"
         print(f"# attempt {attempt + 1} failed: {last}", file=sys.stderr)
-    _emit_failure(last)
-    return 1
+    if not results:
+        _emit_failure(last)
+        return 1
+
+    values = sorted(r["value"] for r in results)
+    median = values[len(values) // 2] if len(values) % 2 else (
+        0.5 * (values[len(values) // 2 - 1] + values[len(values) // 2]))
+    spread = (values[-1] - values[0]) / median if median else 0.0
+    baseline = None
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BASELINE.json")) as f:
+            baseline = json.load(f).get("published", {}).get("edges_per_s")
+    except Exception:
+        pass
+    print(json.dumps({
+        "metric": results[0]["metric"],
+        "value": round(median, 1),
+        "unit": results[0]["unit"],
+        "vs_baseline": round(median / baseline, 3) if baseline else 1.0,
+        "spread": round(spread, 4),
+        "runs": [round(v, 1) for v in values],
+    }))
+    return 0
 
 
 def main():

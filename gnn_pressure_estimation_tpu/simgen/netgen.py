@@ -130,9 +130,10 @@ def make_wdn(
         xb, yb = coords[jids[b]]
         return math.hypot(xa - xb, ya - yb)
 
-    # distribution pipes, with a trunk-main hierarchy on every ~8th grid
-    # line so large networks have the transmission capacity to carry their
-    # aggregate demand (uniform small mains collapse pressure at >5k nodes)
+    # distribution pipes, with a trunk-main hierarchy on every
+    # (side//12)-th grid line (min every 4th) so large networks have the
+    # transmission capacity to carry their aggregate demand (uniform small
+    # mains collapse pressure at >5k nodes)
     trunk_every = max(side // 12, 4)
 
     def on_trunk(i):

@@ -6,6 +6,7 @@ Auto-builds the shared library with the in-tree Makefile on first use
 from __future__ import annotations
 
 import ctypes as ct
+import hashlib
 import os
 import subprocess
 from typing import Optional
@@ -24,21 +25,53 @@ _ip = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
 _bp = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
 
 
+# Freshness is source-hash-based, not mtime-based: a fresh checkout has
+# arbitrary mtimes, so `make`'s timestamp rule could silently load a stale
+# (or foreign-arch, -march=native) binary.  A sidecar <so>.hash records the
+# sha256 of hydraulic.cpp the binary was built from; any mismatch — or a
+# binary with no recorded provenance at all — forces a full rebuild, and a
+# failed rebuild means NO cpp backend rather than a stale one.
+_HASH_FILE = _SO + ".hash"
+
+
+def _src_hash() -> str:
+    with open(os.path.join(_DIR, "hydraulic.cpp"), "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
+
+
+def _is_fresh() -> bool:
+    if not os.path.exists(_SO):
+        return False
+    try:
+        with open(_HASH_FILE) as f:
+            return f.read().strip() == _src_hash()
+    except OSError:
+        return False
+
+
 def _build() -> bool:
     try:
         subprocess.run(
-            ["make", "-C", _DIR, "-s"], check=True, capture_output=True, timeout=120
+            ["make", "-C", _DIR, "-s", "-B"], check=True, capture_output=True,
+            timeout=180,
         )
-        return os.path.exists(_SO)
     except Exception:
         return False
+    if not os.path.exists(_SO):
+        return False
+    try:
+        with open(_HASH_FILE, "w") as f:
+            f.write(_src_hash())
+    except OSError:
+        return False
+    return True
 
 
 def _load() -> Optional[ct.CDLL]:
     global _LIB
     if _LIB is not None:
         return _LIB
-    if not os.path.exists(_SO) and not _build():
+    if not _is_fresh() and not _build():
         return None
     lib = ct.CDLL(_SO)
     lib.hyd_solve.restype = ct.c_int
