@@ -296,7 +296,9 @@ def make_band_attention_dma(
         def fwd_kernel(adst_ref, asrc_ref, mask_ref, x_hbm, o_ref, xbuf, sem):
             B = pl.num_programs(1)
             xw = _pipeline(x_hbm, xbuf, sem, B)           # [W_pad, HC]
-            mk = mask_ref[0]
+            # int8 0/1 mask storage: 4× less HBM traffic than f32 on the
+            # per-cell [BLK, W_pad] re-reads; the convert is exact
+            mk = mask_ref[0].astype(jnp.float32)
             H = adst_ref.shape[-1]
             C = xw.shape[-1] // H
             for h in range(H):
@@ -312,7 +314,7 @@ def make_band_attention_dma(
                        dadst_ref, dasrc_ref, dxw_ref, xbuf, sem):
             B = pl.num_programs(1)
             xw = _pipeline(x_hbm, xbuf, sem, B)
-            mk = mask_ref[0]
+            mk = mask_ref[0].astype(jnp.float32)
             H = adst_ref.shape[-1]
             C = xw.shape[-1] // H
             for h in range(H):
@@ -410,7 +412,12 @@ def make_band_attention_dma(
             dx = jnp.zeros_like(x_flat)
             for i in range(nB):
                 dx = dx.at[:, i * BLK : i * BLK + W, :].add(dxw[i, :, :W, :])
-            return d_adst, d_asrc, dx, jnp.zeros_like(maskf)
+            # int8 mask primal → float0 cotangent per custom_vjp rules
+            import numpy as _np
+
+            return d_adst, d_asrc, dx, _np.zeros(
+                maskf.shape, jax.dtypes.float0
+            )
 
         attend_core.defvjp(fwd_fn, bwd_fn)
         return attend_core
@@ -434,30 +441,33 @@ def make_band_attention_dma(
         asrcT = jnp.pad(
             a_src_win.transpose(0, 1, 3, 2), ((0, 0),) * 3 + ((0, W_pad - W),)
         )
-        maskf = jnp.pad(
-            adj_mask.astype(jnp.float32), ((0, 0), (0, 0), (0, W_pad - W))
+        maski = jnp.pad(
+            adj_mask.astype(jnp.int8), ((0, 0), (0, 0), (0, W_pad - W))
         )
         out = cores[mx](
-            adst_b, asrcT, x_ext.reshape(B, n_ext, H * C), maskf
+            adst_b, asrcT, x_ext.reshape(B, n_ext, H * C), maski
         )
         return out.transpose(1, 0, 2, 3).reshape(B, nB * BLK, H, C)
 
     return attend
 
 
-def _chunk_width(W: int, BLK: int) -> int:
+def _chunk_width(W: int, BLK: int, budget: int = 1 << 20) -> int:
     """Streaming-chunk width for the W-chunked kernels: as wide as a
-    [BLK, W_CH] f32 slab ≤ 1 MB affords, minimum 128.  The *backward*
+    [BLK, W_CH] f32 slab ≤ ``budget`` affords, minimum 128.  The *backward*
     keeps ~4 such slabs live (z, p, dp, dz) plus the x buffers; a 2 MB
-    slab (BLK 512 × W_CH 1024) measured 19 MB scoped VMEM and failed to
-    compile, so 1 MB is the ceiling."""
+    slab (BLK 512 × W_CH 1024) measured 19 MB scoped VMEM in the backward
+    and failed to compile, so 1 MB is the backward's ceiling.  The
+    *forward* holds only ~2 slabs (z/p reuse) + the accumulator, so it
+    runs with a 2 MB budget — halving its grid-cell count (the measured
+    ~9 µs/cell overhead is the binding cost at 23k-node scale)."""
     if W > 768:
-        ch = 1024
+        ch = 2048 if budget > (1 << 20) else 1024
     elif W > 384:
         ch = 512
     else:
         return _round_up(W, 128)
-    while BLK * ch * 4 > (1 << 20) and ch > 128:
+    while BLK * ch * 4 > budget and ch > 128:
         ch //= 2
     return ch
 
@@ -534,23 +544,27 @@ def make_band_attention_flash(
     # layouts (meganet BLK 256: W 1920 → 15 chunks of 128, measured 550 ms
     # vs 293 ms at 4–5 wide chunks).  Grid-iteration overhead (~9 µs/cell
     # measured at 23k nodes) dominates past ~300 cells, so prefer the
-    # widest chunk the VMEM budget allows.
-    W_CH = _chunk_width(W, BLK)
-    W_pad = _round_up(W, W_CH)
-    nW = W_pad // W_CH
+    # widest chunk the VMEM budget allows — the budgets differ per pass
+    # (fwd 2 MB slabs, bwd 1 MB; see _chunk_width), so each pass gets its
+    # own chunking of the SAME W_pad-padded operands (the saved row stats
+    # m/Z are chunking-invariant).
+    W_CH_B = _chunk_width(W, BLK)
+    W_CH_F = _chunk_width(W, BLK, budget=2 << 20)
+    W_pad = _round_up(W, max(W_CH_F, W_CH_B))
+    assert W_pad % W_CH_B == 0 and W_pad % W_CH_F == 0, (W_CH_F, W_CH_B)
     slope = float(negative_slope)
     n_ext = nB * BLK + (W - BLK)          # caller-visible row count (= v2)
     n_ext_pad = nB * BLK + (W_pad - BLK)  # padded so chunk DMAs stay in range
     MNEG = -3e38  # running-max init; exp(MNEG - m_new) underflows to 0
 
-    def _chunk_dma(x_hbm, xbuf, sem, slot, i, b, w):
+    def _chunk_dma(x_hbm, xbuf, sem, slot, i, b, w, W_CH):
         return pltpu.make_async_copy(
             x_hbm.at[b, pl.ds(i * BLK + w * W_CH, W_CH), :],
             xbuf.at[slot],
             sem.at[slot],
         )
 
-    def _pipeline(x_hbm, xbuf, sem):
+    def _pipeline(x_hbm, xbuf, sem, W_CH):
         """Double-buffered chunk DMA across the flattened (i, b, w) order."""
         B, nWp = pl.num_programs(1), pl.num_programs(2)
         i, b, w = pl.program_id(0), pl.program_id(1), pl.program_id(2)
@@ -560,7 +574,7 @@ def make_band_attention_flash(
 
         @pl.when(t == 0)
         def _():
-            _chunk_dma(x_hbm, xbuf, sem, slot, i, b, w).start()
+            _chunk_dma(x_hbm, xbuf, sem, slot, i, b, w, W_CH).start()
 
         @pl.when(t + 1 < pl.num_programs(0) * B * nWp)
         def _():
@@ -568,9 +582,9 @@ def make_band_attention_flash(
             w1 = jax.lax.rem(t1, nWp)
             b1 = jax.lax.rem(t1 // nWp, B)
             i1 = t1 // (nWp * B)
-            _chunk_dma(x_hbm, xbuf, sem, nxt, i1, b1, w1).start()
+            _chunk_dma(x_hbm, xbuf, sem, nxt, i1, b1, w1, W_CH).start()
 
-        _chunk_dma(x_hbm, xbuf, sem, slot, i, b, w).wait()
+        _chunk_dma(x_hbm, xbuf, sem, slot, i, b, w, W_CH).wait()
         return xbuf[slot]
 
     def _logits(adst_ref, asrc_ref, mk, h):
@@ -580,7 +594,7 @@ def make_band_attention_flash(
         z = jnp.where(z >= 0, z, slope * z)
         return z * mk + (1.0 - mk) * NEG
 
-    def _tail_valid(w):
+    def _tail_valid(w, W_CH):
         """[W_CH, 1] 0/1 row-validity for window cols ≥ W (v2 zeroes those
         buffer rows; under chunked DMA they alias real rows of the extended
         array, so zero them explicitly — keeps fully-masked padded band rows
@@ -596,9 +610,11 @@ def make_band_attention_flash(
                        o_ref, m_ref, z_ref, xbuf, sem, acc, mrun, zrun):
             nWp = pl.num_programs(2)
             w = pl.program_id(2)
-            xw = _pipeline(x_hbm, xbuf, sem)          # [W_CH, HC]
-            xw = xw * _tail_valid(w)
-            mk = mask_ref[0]                          # [BLK, W_CH]
+            xw = _pipeline(x_hbm, xbuf, sem, W_CH_F)  # [W_CH_F, HC]
+            xw = xw * _tail_valid(w, W_CH_F)
+            # mask is stored int8 (0/1) — 4× less HBM traffic than f32 on
+            # the [nB·B·nW, BLK, W_CH] re-reads; the convert is exact
+            mk = mask_ref[0].astype(jnp.float32)      # [BLK, W_CH_F]
             H = adst_ref.shape[-1]
             C = xw.shape[-1] // H
 
@@ -646,10 +662,10 @@ def make_band_attention_flash(
                        dadst_ref, dasrc_ref, dxw_ref, xbuf, sem, dad):
             nWp = pl.num_programs(2)
             w = pl.program_id(2)
-            xw = _pipeline(x_hbm, xbuf, sem)
-            rv = _tail_valid(w)
+            xw = _pipeline(x_hbm, xbuf, sem, W_CH_B)
+            rv = _tail_valid(w, W_CH_B)
             xw = xw * rv
-            mk = mask_ref[0]
+            mk = mask_ref[0].astype(jnp.float32)
             H = adst_ref.shape[-1]
             C = xw.shape[-1] // H
 
@@ -687,7 +703,7 @@ def make_band_attention_flash(
 
         return bwd_kernel
 
-    def _in_specs(H):
+    def _in_specs(H, W_CH):
         return [
             pl.BlockSpec((1, 1, BLK, H), lambda i, b, w: (i, b, 0, 0)),
             pl.BlockSpec((1, 1, H, W_CH), lambda i, b, w: (i, b, 0, w)),
@@ -703,8 +719,9 @@ def make_band_attention_flash(
             HC = x_flat.shape[-1]
             return pl.pallas_call(
                 fwd_kernel,
-                grid=(nB, B, nW),
-                in_specs=_in_specs(H) + [pl.BlockSpec(memory_space=pl.ANY)],
+                grid=(nB, B, W_pad // W_CH_F),
+                in_specs=_in_specs(H, W_CH_F)
+                + [pl.BlockSpec(memory_space=pl.ANY)],
                 out_specs=[
                     pl.BlockSpec((1, 1, BLK, HC), lambda i, b, w: (i, b, 0, 0)),
                     pl.BlockSpec((1, 1, BLK, H), lambda i, b, w: (i, b, 0, 0)),
@@ -716,7 +733,7 @@ def make_band_attention_flash(
                     jax.ShapeDtypeStruct((nB, B, BLK, H), jnp.float32),
                 ],
                 scratch_shapes=[
-                    pltpu.VMEM((2, W_CH, HC), jnp.float32),
+                    pltpu.VMEM((2, W_CH_F, HC), jnp.float32),
                     pltpu.SemaphoreType.DMA((2,)),
                     pltpu.VMEM((BLK, HC), jnp.float32),
                     pltpu.VMEM((BLK, H), jnp.float32),
@@ -730,8 +747,8 @@ def make_band_attention_flash(
             HC = x_flat.shape[-1]
             return pl.pallas_call(
                 bwd_kernel,
-                grid=(nB, B, nW),
-                in_specs=_in_specs(H) + [
+                grid=(nB, B, W_pad // W_CH_B),
+                in_specs=_in_specs(H, W_CH_B) + [
                     pl.BlockSpec((1, 1, BLK, H), lambda i, b, w: (i, b, 0, 0)),
                     pl.BlockSpec((1, 1, BLK, H), lambda i, b, w: (i, b, 0, 0)),
                     pl.BlockSpec((1, 1, BLK, H), lambda i, b, w: (i, b, 0, 0)),
@@ -740,8 +757,8 @@ def make_band_attention_flash(
                 ],
                 out_specs=[
                     pl.BlockSpec((1, 1, BLK, H), lambda i, b, w: (i, b, 0, 0)),
-                    pl.BlockSpec((1, 1, H, W_CH), lambda i, b, w: (i, b, 0, w)),
-                    pl.BlockSpec((1, 1, W_CH, HC), lambda i, b, w: (i, b, w, 0)),
+                    pl.BlockSpec((1, 1, H, W_CH_B), lambda i, b, w: (i, b, 0, w)),
+                    pl.BlockSpec((1, 1, W_CH_B, HC), lambda i, b, w: (i, b, w, 0)),
                 ],
                 out_shape=[
                     jax.ShapeDtypeStruct((nB, B, BLK, H), jnp.float32),
@@ -749,7 +766,7 @@ def make_band_attention_flash(
                     jax.ShapeDtypeStruct((nB, B, W_pad, HC), jnp.float32),
                 ],
                 scratch_shapes=[
-                    pltpu.VMEM((2, W_CH, HC), jnp.float32),
+                    pltpu.VMEM((2, W_CH_B, HC), jnp.float32),
                     pltpu.SemaphoreType.DMA((2,)),
                     pltpu.VMEM((BLK, H), jnp.float32),
                 ],
@@ -779,7 +796,12 @@ def make_band_attention_flash(
                 adst_b, asrcT, maskf, m, zd, delta, g, x_flat
             )
             dx = _fold_windows_blocked(dxw, BLK, n_ext_pad)
-            return d_adst, d_asrc, dx, jnp.zeros_like(maskf)
+            # int8 mask primal → float0 cotangent per custom_vjp rules
+            import numpy as _np
+
+            return d_adst, d_asrc, dx, _np.zeros(
+                maskf.shape, jax.dtypes.float0
+            )
 
         core.defvjp(fwd_fn, bwd_fn)
         return core
@@ -800,14 +822,14 @@ def make_band_attention_flash(
         asrcT = jnp.pad(
             a_src_win.transpose(0, 1, 3, 2), ((0, 0),) * 3 + ((0, W_pad - W),)
         )
-        maskf = jnp.pad(
-            adj_mask.astype(jnp.float32), ((0, 0), (0, 0), (0, W_pad - W))
+        maski = jnp.pad(
+            adj_mask.astype(jnp.int8), ((0, 0), (0, 0), (0, W_pad - W))
         )
         x_flat = jnp.pad(
             x_ext.reshape(B, n_ext, H * C),
             ((0, 0), (0, n_ext_pad - n_ext), (0, 0)),
         )
-        out = cores[mx](adst_b, asrcT, x_flat, maskf)  # [nB, B, BLK, HC]
+        out = cores[mx](adst_b, asrcT, x_flat, maski)  # [nB, B, BLK, HC]
         return out.transpose(1, 0, 2, 3).reshape(B, nB * BLK, H, C)
 
     return attend
