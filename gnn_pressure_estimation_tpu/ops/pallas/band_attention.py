@@ -452,24 +452,43 @@ def make_band_attention_dma(
     return attend
 
 
-def _chunk_width(W: int, BLK: int, budget: int = 1 << 20) -> int:
+def _chunk_width(W: int, BLK: int) -> int:
     """Streaming-chunk width for the W-chunked kernels: as wide as a
-    [BLK, W_CH] f32 slab ≤ ``budget`` affords, minimum 128.  The *backward*
+    [BLK, W_CH] f32 slab ≤ 1 MB affords, minimum 128.  The *backward*
     keeps ~4 such slabs live (z, p, dp, dz) plus the x buffers; a 2 MB
-    slab (BLK 512 × W_CH 1024) measured 19 MB scoped VMEM in the backward
-    and failed to compile, so 1 MB is the backward's ceiling.  The
-    *forward* holds only ~2 slabs (z/p reuse) + the accumulator, so it
-    runs with a 2 MB budget — halving its grid-cell count (the measured
-    ~9 µs/cell overhead is the binding cost at 23k-node scale)."""
+    slab (BLK 512 × W_CH 1024) measured 19 MB scoped VMEM and failed to
+    compile, so 1 MB is the ceiling."""
     if W > 768:
-        ch = 2048 if budget > (1 << 20) else 1024
+        ch = 1024
     elif W > 384:
         ch = 512
     else:
         return _round_up(W, 128)
-    while BLK * ch * 4 > budget and ch > 128:
+    while BLK * ch * 4 > (1 << 20) and ch > 128:
         ch //= 2
     return ch
+
+
+def flash_chunk_widths(W: int, BLK: int) -> tuple[int, int, int]:
+    """(W_CH_F, W_CH_B, W_pad) for the flash kernel's split-width passes.
+
+    The backward keeps ~4 [BLK, W_CH] slabs live so its chunk obeys
+    ``_chunk_width``'s 1 MB budget; the forward holds only ~2 (z/p reuse)
+    plus the accumulator, so it can take a 2 MB slab — halving its
+    grid-cell count (the measured ~9 µs/cell overhead is the binding cost
+    at 23k-node scale).  The forward chunk widens only by exact multiples
+    of the backward chunk and only when that does not inflate ``W_pad``
+    (both passes chunk the SAME padded operands; the saved row stats m/Z
+    are chunking-invariant)."""
+    W_CH_B = _chunk_width(W, BLK)
+    W_pad = _round_up(W, W_CH_B)
+    W_CH_F = W_CH_B
+    for k in (4, 2):
+        cand = k * W_CH_B
+        if BLK * cand * 4 <= (2 << 20) and W_pad % cand == 0:
+            W_CH_F = cand
+            break
+    return W_CH_F, W_CH_B, W_pad
 
 
 def _fold_windows_blocked(dxw: jax.Array, BLK: int, n_ext_pad: int) -> jax.Array:
@@ -548,9 +567,7 @@ def make_band_attention_flash(
     # (fwd 2 MB slabs, bwd 1 MB; see _chunk_width), so each pass gets its
     # own chunking of the SAME W_pad-padded operands (the saved row stats
     # m/Z are chunking-invariant).
-    W_CH_B = _chunk_width(W, BLK)
-    W_CH_F = _chunk_width(W, BLK, budget=2 << 20)
-    W_pad = _round_up(W, max(W_CH_F, W_CH_B))
+    W_CH_F, W_CH_B, W_pad = flash_chunk_widths(W, BLK)
     assert W_pad % W_CH_B == 0 and W_pad % W_CH_F == 0, (W_CH_F, W_CH_B)
     slope = float(negative_slope)
     n_ext = nB * BLK + (W - BLK)          # caller-visible row count (= v2)

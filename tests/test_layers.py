@@ -593,3 +593,30 @@ def test_chunk_width_budget():
     assert _chunk_width(40, 16) == 128
     for W, BLK in [(1792, 128), (2048, 512), (2432, 1024)]:
         assert BLK * _chunk_width(W, BLK) * 4 <= (1 << 20)
+
+
+def test_flash_chunk_widths_split_budgets():
+    """flash_chunk_widths: the forward chunk widens only by exact multiples
+    of the backward chunk (both divide W_pad), under a 2 MB forward slab
+    budget, and never inflates W_pad beyond the backward-only padding."""
+    from gnn_pressure_estimation_tpu.ops.pallas.band_attention import (
+        _chunk_width,
+        _round_up,
+        flash_chunk_widths,
+    )
+
+    # meganet BLK 512: backward 512-wide (1 MB), forward doubles to 1024
+    assert flash_chunk_widths(1920, 512) == (1024, 512, 2048)
+    # BLK 256: backward already 1024; forward takes the whole window
+    assert flash_chunk_widths(1920, 256) == (2048, 1024, 2048)
+    # no widening when W_pad is not a multiple of the wider chunk
+    assert flash_chunk_widths(2432, 512) == (512, 512, 2560)
+    for W, BLK in [(1920, 512), (1920, 256), (2432, 512), (896, 512),
+                   (200, 64), (1024, 256), (520, 8)]:
+        f, b, pad = flash_chunk_widths(W, BLK)
+        assert b == _chunk_width(W, BLK)
+        assert pad == _round_up(W, b)          # no W_pad inflation
+        assert pad % f == 0 and pad % b == 0   # both passes tile W_pad
+        assert f % b == 0
+        assert BLK * f * 4 <= (2 << 20)        # forward slab budget
+        assert BLK * b * 4 <= (1 << 20)        # backward slab budget

@@ -31,7 +31,8 @@ import argparse
 import numpy as np
 
 
-def _build_fixture(num_blocks=15, nc=32, n=60, batch=2, seed=0):
+def _build_fixture(num_blocks=15, nc=32, n=60, batch=2, seed=0,
+                   agg_mode="dense", band_block=None, inp=None):
     import jax
     import jax.numpy as jnp
 
@@ -45,23 +46,43 @@ def _build_fixture(num_blocks=15, nc=32, n=60, batch=2, seed=0):
     from gnn_pressure_estimation_tpu.models.gatres import GATRes
 
     rng = np.random.default_rng(seed)
-    # connected random graph, both directions
-    pairs = set()
-    for i in range(1, n):
-        pairs.add((int(rng.integers(0, i)), i))
-    while len(pairs) < n + n // 2:
-        a, b = int(rng.integers(0, n)), int(rng.integers(0, n))
-        if a != b:
-            pairs.add((min(a, b), max(a, b)))
-    und = np.array(sorted(pairs), np.int32)
-    senders = np.concatenate([und[:, 0], und[:, 1]])
-    receivers = np.concatenate([und[:, 1], und[:, 0]])
-    tpl = GraphTemplate(n, senders, receivers)
-    graph = tpl.batch(batch, mode="dense")
+    if inp:
+        # real network topology (e.g. inputs/bigtown.inp for the
+        # banded-mode leg at the reference's Oosterbeek scale)
+        from gnn_pressure_estimation_tpu.data.dataset import (
+            build_template, get_keep_list,
+        )
+        from gnn_pressure_estimation_tpu.data.inp import parse_inp
+
+        wn = parse_inp(inp)
+        keep = get_keep_list(wn, "keep_junction", None, "pressure")
+        tpl, _ = build_template(wn, keep, None, name="parity")
+        n = tpl.n_node
+        # undirected pairs for the torch legs (template stores both dirs)
+        und = np.unique(
+            np.sort(np.stack([tpl.senders, tpl.receivers], 1), axis=1), axis=0
+        ).astype(np.int32)
+    else:
+        # connected random graph, both directions
+        pairs = set()
+        for i in range(1, n):
+            pairs.add((int(rng.integers(0, i)), i))
+        while len(pairs) < n + n // 2:
+            a, b = int(rng.integers(0, n)), int(rng.integers(0, n))
+            if a != b:
+                pairs.add((min(a, b), max(a, b)))
+        und = np.array(sorted(pairs), np.int32)
+        senders = np.concatenate([und[:, 0], und[:, 1]])
+        receivers = np.concatenate([und[:, 1], und[:, 0]])
+        tpl = GraphTemplate(n, senders, receivers)
+    graph = tpl.batch(batch, mode=agg_mode, band_block=band_block)
     x = rng.standard_normal((batch * n, 1)).astype(np.float32)
 
     model = GATRes(num_blocks=num_blocks, channels=nc)
-    params = model.init(jax.random.PRNGKey(seed), jnp.asarray(x), graph)
+    x0 = jnp.asarray(x)
+    if agg_mode == "banded":
+        x0 = graph.pack_nodes(x0, n)
+    params = model.init(jax.random.PRNGKey(seed), x0, graph)
     return tpl, graph, x, model, params, und
 
 
@@ -69,7 +90,8 @@ def cmd_export(args):
     import jax.numpy as jnp
 
     tpl, graph, x, model, params, und = _build_fixture(
-        args.num_blocks, args.nc, args.nodes, args.batch, args.seed
+        args.num_blocks, args.nc, args.nodes, args.batch, args.seed,
+        agg_mode=args.agg_mode, band_block=args.band_block, inp=args.inp,
     )
     if getattr(args, "ckpt", None):
         # export a real trained checkpoint's weights instead of a fresh init
@@ -82,19 +104,32 @@ def cmd_export(args):
         raw, _, meta = load_checkpoint(args.ckpt)
         params = serialization.from_state_dict(params, raw)
         print(f"using weights from {args.ckpt} (epoch {meta.get('epoch')})")
+    n = tpl.n_node
+    x_in = jnp.asarray(x)
+    if args.agg_mode == "banded":
+        # banded forward runs in RCM-permuted padded node space; the
+        # Pallas band kernels route per layer exactly as in training
+        # (H·C ≥ 128 — use --nc 128 so they actually fire)
+        x_in = graph.pack_nodes(x_in, n)
     out, state = model.apply(
-        params, jnp.asarray(x), graph, capture_intermediates=True, mutable=["intermediates"]
+        params, x_in, graph, capture_intermediates=True, mutable=["intermediates"]
     )
     inter = state["intermediates"]
+
+    def unpack(a):
+        if args.agg_mode == "banded":
+            return np.asarray(graph.unpack_nodes(a, n))
+        return np.asarray(a)
 
     payload = {
         "x": x,
         "edge_index_und": und.T,  # [2, n_und] undirected pairs
-        "n": np.int64(tpl.n_node),
+        "n": np.int64(n),
         "batch": np.int64(graph.n_graph),
         "num_blocks": np.int64(args.num_blocks),
         "nc": np.int64(args.nc),
-        "ours_out": np.asarray(out),
+        "agg_mode": np.bytes_(args.agg_mode.encode()),
+        "ours_out": unpack(out),
     }
     p = params["params"]
     payload["w_lin0"] = np.asarray(p["lin0"]["kernel"]).T
@@ -109,7 +144,7 @@ def cmd_export(args):
             payload[f"blk{i}_conv{j + 1}_att_src"] = np.asarray(c["att_src"])
             payload[f"blk{i}_conv{j + 1}_att_dst"] = np.asarray(c["att_dst"])
             payload[f"blk{i}_conv{j + 1}_bias"] = np.asarray(c["bias"])
-        payload[f"ours_act_block_{i}"] = np.asarray(
+        payload[f"ours_act_block_{i}"] = unpack(
             inter[f"block_{i}"]["__call__"][0]
         )
     np.savez_compressed(args.npz, **payload)
@@ -274,6 +309,19 @@ if __name__ == "__main__":
             p.add_argument("--ckpt", default=None,
                            help="export this trained checkpoint's weights "
                                 "(must match --num_blocks/--nc)")
+            p.add_argument("--agg-mode", dest="agg_mode", default="dense",
+                           choices=["dense", "banded", "padded"],
+                           help="banded runs the forward through the RCM "
+                                "band layout + Pallas band kernels "
+                                "(interpret mode on CPU); activations are "
+                                "unpacked to original node order for the "
+                                "torch legs")
+            p.add_argument("--band-block", dest="band_block", type=int,
+                           default=None)
+            p.add_argument("--inp", default=None,
+                           help="use a real INP topology (e.g. "
+                                "inputs/bigtown.inp) instead of the random "
+                                "fixture graph")
         if name == "compare":
             p.add_argument("--atol", type=float, default=1e-3)
     a = ap.parse_args()

@@ -56,12 +56,10 @@ def _time(fn, *args, iters=10, warmup=3):
 def attn_floors(nB, BLK, W, B, H, C, peak_bw, peak_flops):
     """Analytic floors for make_band_attention_flash at this layout."""
     from gnn_pressure_estimation_tpu.ops.pallas.band_attention import (
-        _chunk_width, _round_up,
+        flash_chunk_widths,
     )
 
-    W_CH_B = _chunk_width(W, BLK)
-    W_CH_F = _chunk_width(W, BLK, budget=2 << 20)
-    W_pad = _round_up(W, max(W_CH_F, W_CH_B))
+    W_CH_F, W_CH_B, W_pad = flash_chunk_widths(W, BLK)
     HC = H * C
     cells_f = nB * B * (W_pad // W_CH_F)
     cells_b = nB * B * (W_pad // W_CH_B)
