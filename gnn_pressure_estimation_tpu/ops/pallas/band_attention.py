@@ -480,12 +480,16 @@ def flash_chunk_widths(W: int, BLK: int) -> tuple[int, int, int]:
     of the backward chunk and only when that does not inflate ``W_pad``
     (both passes chunk the SAME padded operands; the saved row stats m/Z
     are chunking-invariant)."""
+    import os
+
     W_CH_B = _chunk_width(W, BLK)
     W_pad = _round_up(W, W_CH_B)
     W_CH_F = W_CH_B
+    # sweepable without code edits (bytes; 1 MB restores the r4 behavior)
+    budget = int(os.environ.get("GNN_TPU_FLASH_FWD_BUDGET", 2 << 20))
     for k in (4, 2):
         cand = k * W_CH_B
-        if BLK * cand * 4 <= (2 << 20) and W_pad % cand == 0:
+        if BLK * cand * 4 <= budget and W_pad % cand == 0:
             W_CH_F = cand
             break
     return W_CH_F, W_CH_B, W_pad
