@@ -360,6 +360,18 @@ class SimpleMeanConv(nn.Module):
         if graph.dense and graph.axis_name is None:
             return _dense_agg(graph.mean_mat, x, graph)
         if graph.banded or graph.halo:
+            if (graph.band_mean_cnt is not None
+                    and graph.band_spmm_dma is not None
+                    and x.shape[-1] % 128 == 0):
+                # factored mean = diag(inv_deg) @ counts: the kernel streams
+                # the int8 count band (4× fewer band bytes per grid cell);
+                # the row scale is one fused VPU pass outside.  Exact up to
+                # the usual scale-after-sum reassociation (counts are ints).
+                agg = _band_agg(graph.band_mean_cnt, x, graph)
+                B, n_pad = graph.n_graph, graph.band_n_pad
+                return (agg.reshape(B, n_pad, -1)
+                        * graph.band_inv_deg[None, :, None]).reshape(
+                            B * n_pad, -1)
             return _band_agg(graph.band_mean, x, graph)
         if graph.padded:
             nbr = graph.gather_dp(x)                             # [N, D, C]

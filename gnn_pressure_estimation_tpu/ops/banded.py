@@ -47,6 +47,13 @@ class BandLayout:
     gcn_band: np.ndarray      # [nB, BLK, W] sym-norm with SL
     cheb_band: np.ndarray     # [nB, BLK, W] −D^-1/2 A D^-1/2
     adj_band: np.ndarray      # [nB, BLK, W] raw adjacency (no SL)
+    # factored form of mean_band = diag(inv_deg) @ adj: the int8 edge-count
+    # band is 4× smaller than the f32 weight band — the chunked-DMA SpMM
+    # kernel re-reads its band slab per (graph, chunk) grid cell, so the
+    # storage dtype is HBM traffic, not just footprint.  Row scaling by
+    # inv_deg_perm happens outside the kernel (one fused VPU pass).
+    adj_cnt: np.ndarray = None        # [nB, BLK, W] int8 edge counts (no SL)
+    inv_deg_perm: np.ndarray = None   # [n_pad] f32, zeros on pad rows
 
 
 def build_band_layout(template, block: int = 256, lane: int = 128) -> BandLayout:
@@ -92,6 +99,7 @@ def build_band_layout(template, block: int = 256, lane: int = 128) -> BandLayout
     gcn_b = np.zeros((nB, block, W), np.float32)
     cheb_b = np.zeros((nB, block, W), np.float32)
     adj_raw = np.zeros((nB, block, W), np.float32)
+    adj_cnt = np.zeros((nB, block, W), np.int8)
 
     deg = template.in_degree
     inv_deg = template.inv_degree
@@ -105,6 +113,7 @@ def build_band_layout(template, block: int = 256, lane: int = 128) -> BandLayout
         j = s - win_start[b]
         adj[b, i, j] = True
         adj_raw[b, i, j] += 1.0
+        adj_cnt[b, i, j] += 1
         # weights indexed by ORIGINAL node ids (perm-space row r ↔ orig perm[r])
         ro, so = perm[r], perm[s]
         mean_b[b, i, j] += inv_deg[ro]
@@ -115,6 +124,9 @@ def build_band_layout(template, block: int = 256, lane: int = 128) -> BandLayout
         j = r - win_start[b]
         adj[b, i, j] = True
         gcn_b[b, i, j] += dinv_sl[perm[r]] ** 2
+
+    inv_deg_perm = np.zeros(n_pad, np.float32)
+    inv_deg_perm[:n] = np.asarray(inv_deg, np.float32)[perm]
 
     return BandLayout(
         perm=perm.astype(np.int32),
@@ -129,6 +141,8 @@ def build_band_layout(template, block: int = 256, lane: int = 128) -> BandLayout
         gcn_band=gcn_b,
         cheb_band=cheb_b,
         adj_band=adj_raw,
+        adj_cnt=adj_cnt,
+        inv_deg_perm=inv_deg_perm,
     )
 
 

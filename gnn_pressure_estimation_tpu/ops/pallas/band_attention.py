@@ -926,8 +926,10 @@ def make_band_spmm_flash(
         def _():
             acc[...] = jnp.zeros(acc.shape, acc.dtype)
 
-        # band pad cols (≥ W) are zero, so tail x rows carry zero weight
-        acc[...] += jnp.dot(band_ref[0], xw,
+        # band pad cols (≥ W) are zero, so tail x rows carry zero weight.
+        # int8 count bands (factored mean) convert in-VMEM — the band slab
+        # is re-read per grid cell, so its storage dtype is HBM traffic.
+        acc[...] += jnp.dot(band_ref[0].astype(jnp.float32), xw,
                             preferred_element_type=jnp.float32)
 
         @pl.when(w == nWp - 1)
@@ -939,7 +941,8 @@ def make_band_spmm_flash(
         # rows zero ⇒ the full-W_pad fold outside is exact). No DMA needed:
         # everything is block-mapped.
         dxw_ref[0, 0] = jax.lax.dot_general(
-            band_ref[0], do_ref[0, 0], (((0,), (0,)), ((), ())),
+            band_ref[0].astype(jnp.float32), do_ref[0, 0],
+            (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
 
@@ -987,19 +990,29 @@ def make_band_spmm_flash(
         )(bandp, g)
         dx = _fold_windows_blocked(dxw, BLK, n_ext_pad)
         # band weights are graph constants (mean/gcn/cheb/adj bands) — zero
-        # cotangent by contract
-        return jnp.zeros_like(bandp), dx
+        # cotangent by contract (float0 when the band is an int8 count band)
+        if jnp.issubdtype(bandp.dtype, jnp.floating):
+            dband = jnp.zeros_like(bandp)
+        else:
+            import numpy as _np
+
+            dband = _np.zeros(bandp.shape, jax.dtypes.float0)
+        return dband, dx
 
     core.defvjp(fwd_fn, bwd_fn)
 
     def spmm(band, x_ext):
-        """band [nB, BLK, W] · x_ext [B, n_ext, C] → [B, n_pad, C]."""
+        """band [nB, BLK, W] (f32 weights or int8 counts) · x_ext
+        [B, n_ext, C] → [B, n_pad, C]."""
         B, _n_ext, C = x_ext.shape
         assert _n_ext == n_ext, (x_ext.shape, n_ext)
         assert C % 128 == 0
-        bandp = jnp.pad(
-            band.astype(jnp.float32), ((0, 0), (0, 0), (0, W_pad - W))
-        )
+        if not jnp.issubdtype(band.dtype, jnp.floating):
+            bandp = jnp.pad(band, ((0, 0), (0, 0), (0, W_pad - W)))
+        else:
+            bandp = jnp.pad(
+                band.astype(jnp.float32), ((0, 0), (0, 0), (0, W_pad - W))
+            )
         x_flat = jnp.pad(x_ext, ((0, 0), (0, n_ext_pad - n_ext), (0, 0)))
         out = core(bandp, x_flat)                     # [nB, B, BLK, C]
         return out.transpose(1, 0, 2, 3).reshape(B, nB * BLK, C)

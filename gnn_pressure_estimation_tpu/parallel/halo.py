@@ -107,6 +107,8 @@ class HaloPartition:
             axis_name="graph",
             band_adj_mask=arrs["adj_mask"][0],
             band_mean=arrs["mean_band"][0],
+            band_mean_cnt=arrs["adj_cnt"][0],
+            band_inv_deg=arrs["inv_degp"][0],
             band_gcn=arrs["gcn_band"][0],
             band_cheb=arrs["cheb_band"][0],
             band_adj=arrs["adj_band"][0],
@@ -142,10 +144,15 @@ def build_halo_partition(template: GraphTemplate, gp: int) -> HaloPartition:
     band_arrays = {
         "adj_mask": pad_stack(bl.adj_mask),
         "mean_band": pad_stack(bl.mean_band),
+        "adj_cnt": pad_stack(bl.adj_cnt),
         "gcn_band": pad_stack(bl.gcn_band),
         "cheb_band": pad_stack(bl.cheb_band),
         "adj_band": pad_stack(bl.adj_band),
     }
+    # per-device rows of the factored-mean inverse degree (n_pad ≤ gp·chunk)
+    invd = np.zeros(gp * chunk, np.float32)
+    invd[: len(bl.inv_deg_perm)] = bl.inv_deg_perm
+    band_arrays["inv_degp"] = invd.reshape(gp, chunk)
     band_attn = band_attn_dma = band_spmm_dma = None
     if os.environ.get("GNN_TPU_BAND_SPMM", "1") == "1":
         from gnn_pressure_estimation_tpu.ops.pallas.band_attention import (

@@ -620,3 +620,46 @@ def test_flash_chunk_widths_split_budgets():
         assert f % b == 0
         assert BLK * f * 4 <= (2 << 20)        # forward slab budget
         assert BLK * b * 4 <= (1 << 20)        # backward slab budget
+
+
+def test_simple_mean_conv_factored_int8_band(rng):
+    """Banded SimpleMeanConv through the factored int8-count band (kernel
+    path) == the f32 mean band (XLA band path) — the scale-after-sum
+    reassociation is the only difference."""
+    import jax
+    import jax.numpy as jnp
+    from gnn_pressure_estimation_tpu.core.graph import GraphTemplate
+    from gnn_pressure_estimation_tpu.models.layers import SimpleMeanConv
+
+    n = 72
+    s, r = [], []
+    for i in range(n - 1):
+        s += [i, i + 1]; r += [i + 1, i]
+    for i in range(n - 3):
+        if rng.random() < 0.4:
+            s += [i, i + 3]; r += [i + 3, i]
+    tpl = GraphTemplate(n, np.array(s), np.array(r))
+    tpl.band_layout(block=8, lane=8)
+    g = tpl.batch(2, mode="banded")
+    assert g.band_mean_cnt is not None and g.band_mean_cnt.dtype == jnp.int8
+    x = jnp.asarray(rng.standard_normal(
+        (2 * g.band_n_pad, 128)).astype(np.float32))
+
+    conv = SimpleMeanConv()
+    out_fac = conv.apply({}, x, g)                       # kernel+factored
+    # force the f32-band path by blanking the factored entries
+    import dataclasses
+
+    g_f32 = dataclasses.replace(g, band_mean_cnt=None, band_inv_deg=None)
+    out_f32 = conv.apply({}, x, g_f32)
+    np.testing.assert_allclose(np.asarray(out_fac), np.asarray(out_f32),
+                               rtol=1e-5, atol=1e-6)
+
+    # grads through the factored path match too
+    def loss(f, gg):
+        return lambda xx: jnp.sum(jnp.tanh(conv.apply({}, xx, gg)))
+
+    g1 = jax.grad(loss(conv, g))(x)
+    g2 = jax.grad(loss(conv, g_f32))(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-4, atol=1e-6)
