@@ -373,7 +373,7 @@ class GraphTemplate:
                 "band_mean": jnp.asarray(bl.mean_band),
                 # factored mean band: int8 edge counts + row inv-degree, so
                 # the SpMM kernel streams 4× fewer band bytes per grid cell
-                "band_mean_cnt": jnp.asarray(bl.adj_cnt),
+                "band_cnt": jnp.asarray(bl.adj_cnt),
                 "band_inv_deg": jnp.asarray(bl.inv_deg_perm),
                 "band_gcn": jnp.asarray(bl.gcn_band),
                 "band_cheb": jnp.asarray(bl.cheb_band),
@@ -507,7 +507,7 @@ class GraphTemplate:
         "cheb_dp",
         "band_adj_mask",
         "band_mean",
-        "band_mean_cnt",
+        "band_cnt",
         "band_inv_deg",
         "band_gcn",
         "band_cheb",
@@ -577,7 +577,7 @@ class BatchedGraph:
     band_mean: Optional[jax.Array] = None
     # factored mean band (mean = diag(band_inv_deg) @ counts): the kernel
     # path reads the int8 counts, scales rows outside — 4× less band traffic
-    band_mean_cnt: Optional[jax.Array] = None
+    band_cnt: Optional[jax.Array] = None
     band_inv_deg: Optional[jax.Array] = None
     band_gcn: Optional[jax.Array] = None
     band_cheb: Optional[jax.Array] = None

@@ -68,6 +68,10 @@ def _band_agg(band: jax.Array, x: jax.Array, graph: BatchedGraph) -> jax.Array:
     B, n_pad = graph.n_graph, graph.band_n_pad
     xb = x.reshape(B, n_pad, -1)
     if graph.band_spmm_dma is not None and xb.shape[-1] % 128 == 0:
+        if band is graph.band_adj and graph.band_cnt is not None:
+            # the raw adjacency band IS the int8 edge-count band — stream
+            # 4× fewer band bytes through the kernel (values identical)
+            band = graph.band_cnt
         U, R = bops.halo_widths(graph.band_win_start, graph.band_W, n_pad)
         if graph.halo:
             from gnn_pressure_estimation_tpu.parallel.halo import halo_exchange
@@ -360,14 +364,14 @@ class SimpleMeanConv(nn.Module):
         if graph.dense and graph.axis_name is None:
             return _dense_agg(graph.mean_mat, x, graph)
         if graph.banded or graph.halo:
-            if (graph.band_mean_cnt is not None
+            if (graph.band_cnt is not None
                     and graph.band_spmm_dma is not None
                     and x.shape[-1] % 128 == 0):
                 # factored mean = diag(inv_deg) @ counts: the kernel streams
                 # the int8 count band (4× fewer band bytes per grid cell);
                 # the row scale is one fused VPU pass outside.  Exact up to
                 # the usual scale-after-sum reassociation (counts are ints).
-                agg = _band_agg(graph.band_mean_cnt, x, graph)
+                agg = _band_agg(graph.band_cnt, x, graph)
                 B, n_pad = graph.n_graph, graph.band_n_pad
                 return (agg.reshape(B, n_pad, -1)
                         * graph.band_inv_deg[None, :, None]).reshape(

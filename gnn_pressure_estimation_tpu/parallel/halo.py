@@ -107,7 +107,7 @@ class HaloPartition:
             axis_name="graph",
             band_adj_mask=arrs["adj_mask"][0],
             band_mean=arrs["mean_band"][0],
-            band_mean_cnt=arrs["adj_cnt"][0],
+            band_cnt=arrs["adj_cnt"][0],
             band_inv_deg=arrs["inv_degp"][0],
             band_gcn=arrs["gcn_band"][0],
             band_cheb=arrs["cheb_band"][0],

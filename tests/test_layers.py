@@ -641,7 +641,7 @@ def test_simple_mean_conv_factored_int8_band(rng):
     tpl = GraphTemplate(n, np.array(s), np.array(r))
     tpl.band_layout(block=8, lane=8)
     g = tpl.batch(2, mode="banded")
-    assert g.band_mean_cnt is not None and g.band_mean_cnt.dtype == jnp.int8
+    assert g.band_cnt is not None and g.band_cnt.dtype == jnp.int8
     x = jnp.asarray(rng.standard_normal(
         (2 * g.band_n_pad, 128)).astype(np.float32))
 
@@ -650,7 +650,7 @@ def test_simple_mean_conv_factored_int8_band(rng):
     # force the f32-band path by blanking the factored entries
     import dataclasses
 
-    g_f32 = dataclasses.replace(g, band_mean_cnt=None, band_inv_deg=None)
+    g_f32 = dataclasses.replace(g, band_cnt=None, band_inv_deg=None)
     out_f32 = conv.apply({}, x, g_f32)
     np.testing.assert_allclose(np.asarray(out_fac), np.asarray(out_f32),
                                rtol=1e-5, atol=1e-6)
