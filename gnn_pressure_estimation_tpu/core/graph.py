@@ -371,10 +371,13 @@ class GraphTemplate:
                 "band_spmm_dma": band_spmm_dma,
                 "band_adj_mask": jnp.asarray(bl.adj_mask),
                 "band_mean": jnp.asarray(bl.mean_band),
-                # factored mean band: int8 edge counts + row inv-degree, so
-                # the SpMM kernel streams 4× fewer band bytes per grid cell
+                # factored bands: int8 edge counts + row/col scale vectors,
+                # so the SpMM kernel streams 4× fewer band bytes per cell
                 "band_cnt": jnp.asarray(bl.adj_cnt),
+                "band_cnt_sl": jnp.asarray(bl.adj_cnt_sl),
                 "band_inv_deg": jnp.asarray(bl.inv_deg_perm),
+                "band_dinv_sl": jnp.asarray(bl.dinv_sl_perm),
+                "band_dinv": jnp.asarray(bl.dinv_perm),
                 "band_gcn": jnp.asarray(bl.gcn_band),
                 "band_cheb": jnp.asarray(bl.cheb_band),
                 "band_adj": jnp.asarray(bl.adj_band),
@@ -508,7 +511,10 @@ class GraphTemplate:
         "band_adj_mask",
         "band_mean",
         "band_cnt",
+        "band_cnt_sl",
         "band_inv_deg",
+        "band_dinv_sl",
+        "band_dinv",
         "band_gcn",
         "band_cheb",
         "band_adj",
@@ -575,10 +581,14 @@ class BatchedGraph:
     # Banded (RCM local-attention) layout — large templates; see ops/banded.py
     band_adj_mask: Optional[jax.Array] = None
     band_mean: Optional[jax.Array] = None
-    # factored mean band (mean = diag(band_inv_deg) @ counts): the kernel
-    # path reads the int8 counts, scales rows outside — 4× less band traffic
+    # factored bands (mean/gcn/cheb/adj = row⊙counts⊙col, ops/banded.py
+    # BandLayout): the kernel path reads the int8 counts and applies the
+    # scale vectors outside — 4× less band traffic per grid cell
     band_cnt: Optional[jax.Array] = None
+    band_cnt_sl: Optional[jax.Array] = None
     band_inv_deg: Optional[jax.Array] = None
+    band_dinv_sl: Optional[jax.Array] = None
+    band_dinv: Optional[jax.Array] = None
     band_gcn: Optional[jax.Array] = None
     band_cheb: Optional[jax.Array] = None
     band_adj: Optional[jax.Array] = None

@@ -68,10 +68,25 @@ def _band_agg(band: jax.Array, x: jax.Array, graph: BatchedGraph) -> jax.Array:
     B, n_pad = graph.n_graph, graph.band_n_pad
     xb = x.reshape(B, n_pad, -1)
     if graph.band_spmm_dma is not None and xb.shape[-1] % 128 == 0:
-        if band is graph.band_adj and graph.band_cnt is not None:
-            # the raw adjacency band IS the int8 edge-count band — stream
-            # 4× fewer band bytes through the kernel (values identical)
-            band = graph.band_cnt
+        # Factored substitution: every parameter-free band is
+        # rowscale ⊙ int8-counts ⊙ colscale (ops/banded.py BandLayout), so
+        # the kernel streams 4× fewer band bytes per grid cell; the scale
+        # passes fuse into neighboring XLA ops.  Identity (`is`) keys are
+        # safe: the graph's band arrays are per-instance constants.
+        rs = cs = None
+        if graph.band_cnt is not None:
+            if band is graph.band_adj:
+                band = graph.band_cnt            # values identical
+            elif band is graph.band_mean:
+                band, rs = graph.band_cnt, graph.band_inv_deg
+            elif band is graph.band_gcn and graph.band_cnt_sl is not None:
+                band = graph.band_cnt_sl
+                rs = cs = graph.band_dinv_sl
+            elif band is graph.band_cheb:
+                band, cs = graph.band_cnt, graph.band_dinv
+                rs = -graph.band_dinv
+        if cs is not None:
+            xb = xb * cs[None, :, None]
         U, R = bops.halo_widths(graph.band_win_start, graph.band_W, n_pad)
         if graph.halo:
             from gnn_pressure_estimation_tpu.parallel.halo import halo_exchange
@@ -79,7 +94,10 @@ def _band_agg(band: jax.Array, x: jax.Array, graph: BatchedGraph) -> jax.Array:
             x_ext = halo_exchange(xb, U, R, graph.axis_name)
         else:
             x_ext = jnp.pad(xb, ((0, 0), (U, R), (0, 0)))
-        return graph.band_spmm_dma(band, x_ext).reshape(B * n_pad, -1)
+        out = graph.band_spmm_dma(band, x_ext)
+        if rs is not None:
+            out = out * rs[None, :, None]
+        return out.reshape(B * n_pad, -1)
     wins = _windows(xb, graph)
     return bops.band_spmm(band, wins).reshape(B * n_pad, -1)
 
@@ -364,18 +382,6 @@ class SimpleMeanConv(nn.Module):
         if graph.dense and graph.axis_name is None:
             return _dense_agg(graph.mean_mat, x, graph)
         if graph.banded or graph.halo:
-            if (graph.band_cnt is not None
-                    and graph.band_spmm_dma is not None
-                    and x.shape[-1] % 128 == 0):
-                # factored mean = diag(inv_deg) @ counts: the kernel streams
-                # the int8 count band (4× fewer band bytes per grid cell);
-                # the row scale is one fused VPU pass outside.  Exact up to
-                # the usual scale-after-sum reassociation (counts are ints).
-                agg = _band_agg(graph.band_cnt, x, graph)
-                B, n_pad = graph.n_graph, graph.band_n_pad
-                return (agg.reshape(B, n_pad, -1)
-                        * graph.band_inv_deg[None, :, None]).reshape(
-                            B * n_pad, -1)
             return _band_agg(graph.band_mean, x, graph)
         if graph.padded:
             nbr = graph.gather_dp(x)                             # [N, D, C]

@@ -47,13 +47,21 @@ class BandLayout:
     gcn_band: np.ndarray      # [nB, BLK, W] sym-norm with SL
     cheb_band: np.ndarray     # [nB, BLK, W] −D^-1/2 A D^-1/2
     adj_band: np.ndarray      # [nB, BLK, W] raw adjacency (no SL)
-    # factored form of mean_band = diag(inv_deg) @ adj: the int8 edge-count
-    # band is 4× smaller than the f32 weight band — the chunked-DMA SpMM
-    # kernel re-reads its band slab per (graph, chunk) grid cell, so the
-    # storage dtype is HBM traffic, not just footprint.  Row scaling by
-    # inv_deg_perm happens outside the kernel (one fused VPU pass).
+    # Factored forms: every parameter-free band is diag(rowscale) @ counts
+    # @ diag(colscale) —
+    #   mean = diag(inv_deg) · adj_cnt
+    #   gcn  = diag(dinv_sl) · adj_cnt_sl · diag(dinv_sl)
+    #   cheb = −diag(dinv) · adj_cnt · diag(dinv)
+    #   adj  = adj_cnt
+    # The int8 count band is 4× smaller than the f32 weight band — the
+    # chunked-DMA SpMM kernel re-reads its band slab per (graph, chunk)
+    # grid cell, so the storage dtype is HBM traffic, not just footprint.
+    # The row/col scalings happen outside the kernel (fused VPU passes).
     adj_cnt: np.ndarray = None        # [nB, BLK, W] int8 edge counts (no SL)
-    inv_deg_perm: np.ndarray = None   # [n_pad] f32, zeros on pad rows
+    adj_cnt_sl: np.ndarray = None     # [nB, BLK, W] int8 counts + self-loops
+    inv_deg_perm: np.ndarray = None   # [n_pad] f32 1/deg, zeros on pad rows
+    dinv_sl_perm: np.ndarray = None   # [n_pad] f32 1/sqrt(deg+1)
+    dinv_perm: np.ndarray = None      # [n_pad] f32 1/sqrt(deg) (0 at deg 0)
 
 
 def build_band_layout(template, block: int = 256, lane: int = 128) -> BandLayout:
@@ -100,6 +108,7 @@ def build_band_layout(template, block: int = 256, lane: int = 128) -> BandLayout
     cheb_b = np.zeros((nB, block, W), np.float32)
     adj_raw = np.zeros((nB, block, W), np.float32)
     adj_cnt = np.zeros((nB, block, W), np.int8)
+    adj_cnt_sl = np.zeros((nB, block, W), np.int8)
 
     deg = template.in_degree
     inv_deg = template.inv_degree
@@ -114,6 +123,7 @@ def build_band_layout(template, block: int = 256, lane: int = 128) -> BandLayout
         adj[b, i, j] = True
         adj_raw[b, i, j] += 1.0
         adj_cnt[b, i, j] += 1
+        adj_cnt_sl[b, i, j] += 1
         # weights indexed by ORIGINAL node ids (perm-space row r ↔ orig perm[r])
         ro, so = perm[r], perm[s]
         mean_b[b, i, j] += inv_deg[ro]
@@ -124,9 +134,14 @@ def build_band_layout(template, block: int = 256, lane: int = 128) -> BandLayout
         j = r - win_start[b]
         adj[b, i, j] = True
         gcn_b[b, i, j] += dinv_sl[perm[r]] ** 2
+        adj_cnt_sl[b, i, j] += 1
 
     inv_deg_perm = np.zeros(n_pad, np.float32)
     inv_deg_perm[:n] = np.asarray(inv_deg, np.float32)[perm]
+    dinv_sl_perm = np.zeros(n_pad, np.float32)
+    dinv_sl_perm[:n] = np.asarray(dinv_sl, np.float32)[perm]
+    dinv_perm = np.zeros(n_pad, np.float32)
+    dinv_perm[:n] = np.asarray(dinv, np.float32)[perm]
 
     return BandLayout(
         perm=perm.astype(np.int32),
@@ -142,7 +157,10 @@ def build_band_layout(template, block: int = 256, lane: int = 128) -> BandLayout
         cheb_band=cheb_b,
         adj_band=adj_raw,
         adj_cnt=adj_cnt,
+        adj_cnt_sl=adj_cnt_sl,
         inv_deg_perm=inv_deg_perm,
+        dinv_sl_perm=dinv_sl_perm,
+        dinv_perm=dinv_perm,
     )
 
 

@@ -108,7 +108,10 @@ class HaloPartition:
             band_adj_mask=arrs["adj_mask"][0],
             band_mean=arrs["mean_band"][0],
             band_cnt=arrs["adj_cnt"][0],
+            band_cnt_sl=arrs["adj_cnt_sl"][0],
             band_inv_deg=arrs["inv_degp"][0],
+            band_dinv_sl=arrs["dinv_slp"][0],
+            band_dinv=arrs["dinvp"][0],
             band_gcn=arrs["gcn_band"][0],
             band_cheb=arrs["cheb_band"][0],
             band_adj=arrs["adj_band"][0],
@@ -145,14 +148,21 @@ def build_halo_partition(template: GraphTemplate, gp: int) -> HaloPartition:
         "adj_mask": pad_stack(bl.adj_mask),
         "mean_band": pad_stack(bl.mean_band),
         "adj_cnt": pad_stack(bl.adj_cnt),
+        "adj_cnt_sl": pad_stack(bl.adj_cnt_sl),
         "gcn_band": pad_stack(bl.gcn_band),
         "cheb_band": pad_stack(bl.cheb_band),
         "adj_band": pad_stack(bl.adj_band),
     }
-    # per-device rows of the factored-mean inverse degree (n_pad ≤ gp·chunk)
-    invd = np.zeros(gp * chunk, np.float32)
-    invd[: len(bl.inv_deg_perm)] = bl.inv_deg_perm
-    band_arrays["inv_degp"] = invd.reshape(gp, chunk)
+
+    # per-device rows of the factored-band scale vectors (n_pad ≤ gp·chunk)
+    def pad_rows(v: np.ndarray) -> np.ndarray:
+        out = np.zeros(gp * chunk, np.float32)
+        out[: len(v)] = v
+        return out.reshape(gp, chunk)
+
+    band_arrays["inv_degp"] = pad_rows(bl.inv_deg_perm)
+    band_arrays["dinv_slp"] = pad_rows(bl.dinv_sl_perm)
+    band_arrays["dinvp"] = pad_rows(bl.dinv_perm)
     band_attn = band_attn_dma = band_spmm_dma = None
     if os.environ.get("GNN_TPU_BAND_SPMM", "1") == "1":
         from gnn_pressure_estimation_tpu.ops.pallas.band_attention import (

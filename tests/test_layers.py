@@ -663,3 +663,35 @@ def test_simple_mean_conv_factored_int8_band(rng):
     g2 = jax.grad(loss(conv, g_f32))(x)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_band_agg_factored_all_bands(rng):
+    """_band_agg's factored substitution (int8 counts + scale vectors) ==
+    the f32 weight bands, for every parameter-free band family."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    from gnn_pressure_estimation_tpu.core.graph import GraphTemplate
+    from gnn_pressure_estimation_tpu.models.layers import _band_agg
+
+    n = 72
+    s, r = [], []
+    for i in range(n - 1):
+        s += [i, i + 1]; r += [i + 1, i]
+    for i in range(n - 3):
+        if rng.random() < 0.4:
+            s += [i, i + 3]; r += [i + 3, i]
+    tpl = GraphTemplate(n, np.array(s), np.array(r))
+    tpl.band_layout(block=8, lane=8)
+    g = tpl.batch(2, mode="banded")
+    assert g.band_cnt is not None and g.band_cnt_sl is not None
+    g_plain = dataclasses.replace(g, band_cnt=None, band_cnt_sl=None)
+    x = jnp.asarray(rng.standard_normal(
+        (2 * g.band_n_pad, 128)).astype(np.float32))
+
+    for name in ("mean", "gcn", "cheb", "adj"):
+        out_fac = _band_agg(getattr(g, f"band_{name}"), x, g)
+        out_f32 = _band_agg(getattr(g_plain, f"band_{name}"), x, g_plain)
+        np.testing.assert_allclose(
+            np.asarray(out_fac), np.asarray(out_f32),
+            rtol=1e-5, atol=1e-6, err_msg=name)
