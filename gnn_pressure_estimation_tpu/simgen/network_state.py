@@ -195,8 +195,12 @@ def build_state(wn: inp_mod.WaterNetwork) -> NetworkState:
         valve_type[li] = vt
         st = v.status.upper()
         status[li] = {"CLOSED": CLOSED, "OPEN": OPEN, "ACTIVE": ACTIVE}.get(st, ACTIVE)
-        if vt in (0, 1, 2):  # PRV/PSV/PBV: pressure/head setting
-            valve_setting[li] = U.length_to_ft(v.setting, units)
+        if vt in (0, 1, 2):
+            # PRV/PSV/PBV settings are PRESSURES — psi in US unit systems
+            # (÷0.4333 → ft), meters of head in SI.  (Was length_to_ft,
+            # which is a no-op on US systems: a real unit bug surfaced by
+            # the hand-derived external anchor, tests/test_solver_external.)
+            valve_setting[li] = U.pressure_to_ft(v.setting, units)
         elif vt == 3:  # FCV: flow
             valve_setting[li] = U.flow_to_cfs(v.setting, units)
         else:  # TCV loss coeff, GPV curve id (unsupported → K)

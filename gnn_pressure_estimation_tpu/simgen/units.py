@@ -81,6 +81,14 @@ def pressure_from_ft(head_minus_elev_ft, units: str):
     return v * (PSI_PER_FT if is_us(units) else FT)
 
 
+def pressure_to_ft(values, units: str):
+    """Inverse of :func:`pressure_from_ft` — PRV/PSV/PBV settings are
+    PRESSURES (psi in US unit systems, meters of head in SI), not lengths
+    (EPANET input.c valve-setting Ucf[PRESSURE] conversion)."""
+    v = np.asarray(values, np.float64)
+    return v / (PSI_PER_FT if is_us(units) else FT)
+
+
 def velocity_from_fps(values, units: str):
     return np.asarray(values, np.float64) * (1.0 if is_us(units) else FT)
 

@@ -131,3 +131,112 @@ def test_tree_network_gauge_pressures_psi(backend):
         i = idx[name]
         got_psi = (float(res.head[i]) - float(ns.elevation[i])) * 0.4333
         assert abs(got_psi - expect_psi) < 3e-3, (name, got_psi, expect_psi)
+
+
+# ---------------------------------------------------------------------------
+# Anchor 2: pump operating point (tree → flow forced by continuity)
+#
+#   R1 (head 100 ft) ─PU1→ J1 (elev 50, demand 300 gpm)
+#                           └─P2: L=1000 ft, D=10 in, C=120 → J2 (elev 40,
+#                                                               demand 300)
+#   PU1: single-point HEAD curve (600 gpm, 150 ft).  EPANET's documented
+#   1-point extension (manual, pump curves): shutoff h0 = 4/3·150 = 200 ft,
+#   h(q) = h0 − r·q² through (600 gpm, 150 ft) — so at the tree-forced
+#   pump flow of exactly 600 gpm the head gain is exactly 150 ft for ANY
+#   consistent fit, independent of r's units:
+#       H(J1) = 100 + 150 = 250.00000 ft          (exact)
+#       h_P2  = 4.727·120^-1.852·(10/12)^-4.871·1000·(300/448.831)^1.852
+#             = 0.76843 ft
+#       H(J2) = 250 − 0.76843 = 249.23157 ft
+# ---------------------------------------------------------------------------
+INP_PUMP = """
+[JUNCTIONS]
+ J1 50 300
+ J2 40 300
+[RESERVOIRS]
+ R1 100
+[PIPES]
+ P2 J1 J2 1000 10 120 0 Open
+[PUMPS]
+ PU1 R1 J1 HEAD C1
+[CURVES]
+ C1 600 150
+[OPTIONS]
+ UNITS GPM
+ HEADLOSS H-W
+[TIMES]
+ DURATION 0
+[END]
+"""
+
+
+@pytest.mark.parametrize("backend", ["py", "cpp"])
+def test_pump_design_point_matches_hand_computation(backend):
+    wn = parse_inp(INP_PUMP)
+    ns = build_state(wn)
+    if backend == "cpp" and not solver_cpp.is_available():
+        pytest.skip("cpp backend unavailable")
+    res = (solver_py.solve(ns) if backend == "py"
+           else solver_cpp.solve_raw(ns))
+    assert res.converged
+    idx = {name: i for i, name in enumerate(wn.node_names)}
+    assert abs(float(res.head[idx["J1"]]) - 250.0) < 5e-3
+    assert abs(float(res.head[idx["J2"]]) - 249.23157) < 5e-3
+    li = list(wn.link_names).index("PU1")
+    assert abs(float(res.flow[li]) - 600.0 / GPM_PER_CFS) < 1e-5
+
+
+# ---------------------------------------------------------------------------
+# Anchor 3: active PRV in a US-unit system (setting is PSI, not feet)
+#
+#   R1 (300 ft) ─P1: 500 ft, 12 in, C=100→ N1 (elev 80)
+#     ─V1: PRV, setting 40 PSI→ N2 (elev 80)
+#     ─P2: 800 ft, 8 in, C=100→ N3 (elev 60, demand 250 gpm)
+#
+#   Flow everywhere = 250 gpm (tree).  Upstream head 300 − 0.15808 =
+#   299.84192 ft ≫ required, so the PRV is ACTIVE and pins
+#       H(N2) = elev + setting/0.4333 = 80 + 92.31479 = 172.31479 ft
+#       h_P2  = 4.727·100^-1.852·(8/12)^-4.871·800·(250/448.831)^1.852
+#             = 1.82282 ft
+#       H(N3) = 170.49198 ft
+#   (This anchor caught a real bug: PRV settings were converted as lengths,
+#   a no-op in US systems, instead of psi→ft — simgen/network_state.py.)
+# ---------------------------------------------------------------------------
+INP_PRV_US = """
+[JUNCTIONS]
+ N1 80 0
+ N2 80 0
+ N3 60 250
+[RESERVOIRS]
+ R1 300
+[PIPES]
+ P1 R1 N1 500 12 100 0 Open
+ P2 N2 N3 800  8 100 0 Open
+[VALVES]
+ V1 N1 N2 200 PRV 40 0
+[OPTIONS]
+ UNITS GPM
+ HEADLOSS H-W
+[TIMES]
+ DURATION 0
+[END]
+"""
+
+
+@pytest.mark.parametrize("backend", ["py", "cpp"])
+def test_prv_psi_setting_us_units_matches_hand_computation(backend):
+    from gnn_pressure_estimation_tpu.simgen.network_state import ACTIVE
+
+    wn = parse_inp(INP_PRV_US)
+    ns = build_state(wn)
+    if backend == "cpp" and not solver_cpp.is_available():
+        pytest.skip("cpp backend unavailable")
+    res = (solver_py.solve(ns) if backend == "py"
+           else solver_cpp.solve_raw(ns))
+    assert res.converged
+    idx = {name: i for i, name in enumerate(wn.node_names)}
+    vi = list(wn.link_names).index("V1")
+    assert res.status[vi] == ACTIVE
+    assert abs(float(res.head[idx["N1"]]) - 299.84192) < 5e-3
+    assert abs(float(res.head[idx["N2"]]) - 172.31479) < 5e-3
+    assert abs(float(res.head[idx["N3"]]) - 170.49198) < 5e-3
