@@ -224,10 +224,19 @@ struct JuncSys {
 // Minimum-degree ordering on the junction graph (lazy-heap elimination-graph
 // variant with stale-entry skipping; clique merges keep adjacency sorted).
 // Quality is what matters — it runs once per hydraulic solve.
+//
+// Degree-cap bailout: clique merges materialize full fill adjacency, which
+// can degrade superlinearly on irregular high-fill inputs.  Once a pivot's
+// eliminated degree exceeds max(64, 4·√n) we stop updating the elimination
+// graph for that pivot — remaining nodes still drain in (now approximate)
+// degree order.  Any permutation is valid (the symbolic analysis computes
+// the true fill for whatever order we emit); the cap only bounds ordering
+// cost.  WDN grids never hit it; adversarial dense inputs stay O(n·cap²).
 std::vector<int> mindeg_order(int n, std::vector<std::vector<int>> adj) {
   std::vector<int> order;
   order.reserve(n);
   std::vector<char> dead(n, 0);
+  const int degree_cap = std::max(64, 4 * (int)std::sqrt((double)n));
   using DN = std::pair<int, int>;  // (degree, node)
   std::priority_queue<DN, std::vector<DN>, std::greater<DN>> pq;
   for (int i = 0; i < n; ++i) pq.push({(int)adj[i].size(), i});
@@ -238,6 +247,11 @@ std::vector<int> mindeg_order(int n, std::vector<std::vector<int>> adj) {
     if (dead[v] || d != (int)adj[v].size()) continue;  // stale entry
     dead[v] = 1;
     order.push_back(v);
+    if (d > degree_cap) {  // bailout: eliminate without clique merge
+      adj[v].clear();
+      adj[v].shrink_to_fit();
+      continue;
+    }
     nbrs.clear();
     for (int u : adj[v])
       if (!dead[u]) nbrs.push_back(u);
