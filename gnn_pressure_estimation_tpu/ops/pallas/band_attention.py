@@ -731,6 +731,178 @@ def make_band_attention_flash(
             pl.BlockSpec((1, BLK, W_CH), lambda i, b, w: (i, 0, w)),
         ]
 
+    # ---- batch-folded variant (VERDICT r4 lever: "fold the batch axis
+    # into wider cells").  The grid drops the batch dimension — each cell
+    # loops b internally — so at meganet b2 the cell count halves and the
+    # batch-invariant adjacency-mask chunk is read ONCE per cell instead of
+    # once per (cell, b).  Per-b slabs are serial temporaries (VMEM reuse);
+    # only the x DMA buffers and the running accumulators scale with B.
+
+    def _pipeline_bf(x_hbm, xbuf, sem, W_CH, B):
+        """Double-buffered chunk DMA over the flattened (i, w) order; each
+        chunk fetches all B batch windows (one DMA + semaphore per b)."""
+        nWp = pl.num_programs(1)
+        i, w = pl.program_id(0), pl.program_id(1)
+        t = i * nWp + w
+        slot = jax.lax.rem(t, 2)
+        nxt = jax.lax.rem(t + 1, 2)
+
+        def start(slot_, i_, w_):
+            for b in range(B):
+                pltpu.make_async_copy(
+                    x_hbm.at[b, pl.ds(i_ * BLK + w_ * W_CH, W_CH), :],
+                    xbuf.at[slot_, b],
+                    sem.at[slot_, b],
+                ).start()
+
+        @pl.when(t == 0)
+        def _():
+            start(slot, i, w)
+
+        @pl.when(t + 1 < pl.num_programs(0) * nWp)
+        def _():
+            t1 = t + 1
+            start(nxt, t1 // nWp, jax.lax.rem(t1, nWp))
+
+        for b in range(B):
+            pltpu.make_async_copy(
+                x_hbm.at[b, pl.ds(i * BLK + w * W_CH, W_CH), :],
+                xbuf.at[slot, b],
+                sem.at[slot, b],
+            ).wait()
+        return slot
+
+    def _make_fwd_bf(mx, B):
+        def cast(a):
+            return a if mx is None else a.astype(mx)
+
+        def fwd_kernel(adst_ref, asrc_ref, mask_ref, x_hbm,
+                       o_ref, m_ref, z_ref, xbuf, sem, acc, mrun, zrun):
+            nWp = pl.num_programs(1)
+            w = pl.program_id(1)
+            slot = _pipeline_bf(x_hbm, xbuf, sem, W_CH_F, B)
+            rv = _tail_valid(w, W_CH_F)
+            mk = mask_ref[0].astype(jnp.float32)      # shared across b
+            H = adst_ref.shape[-1]
+            C = xbuf.shape[-1] // H
+
+            @pl.when(w == 0)
+            def _():
+                mrun[...] = jnp.full(mrun.shape, MNEG, mrun.dtype)
+                zrun[...] = jnp.zeros(zrun.shape, zrun.dtype)
+                acc[...] = jnp.zeros(acc.shape, acc.dtype)
+
+            for b in range(B):
+                xw = xbuf[slot, b] * rv
+                for h in range(H):
+                    ad_col = adst_ref[0, b][:, h : h + 1]
+                    as_row = asrc_ref[0, b][h : h + 1, :]
+                    z = ad_col + as_row
+                    z = jnp.where(z >= 0, z, slope * z)
+                    z = z * mk + (1.0 - mk) * NEG
+                    mc = jnp.max(z, axis=1, keepdims=True)
+                    mold = mrun[b][:, h : h + 1]
+                    mnew = jnp.maximum(mold, mc)
+                    alpha = jnp.exp(mold - mnew)
+                    pch = jnp.exp(z - mnew)
+                    zrun[b, :, h : h + 1] = (
+                        zrun[b][:, h : h + 1] * alpha
+                        + jnp.sum(pch, axis=1, keepdims=True)
+                    )
+                    acc[b, :, h * C : (h + 1) * C] = (
+                        acc[b][:, h * C : (h + 1) * C] * alpha
+                        + jnp.dot(cast(pch), cast(xw[:, h * C : (h + 1) * C]),
+                                  preferred_element_type=jnp.float32)
+                    )
+                    mrun[b, :, h : h + 1] = mnew
+
+            @pl.when(w == nWp - 1)
+            def _():
+                for b in range(B):
+                    for h in range(H):
+                        o_ref[0, b, :, h * C : (h + 1) * C] = (
+                            acc[b][:, h * C : (h + 1) * C]
+                            / zrun[b][:, h : h + 1]
+                        )
+                m_ref[0] = mrun[...]
+                z_ref[0] = zrun[...]
+
+        return fwd_kernel
+
+    def _make_bwd_bf(mx, B):
+        def cast(a):
+            return a if mx is None else a.astype(mx)
+
+        def bwd_kernel(adst_ref, asrc_ref, mask_ref, m_ref, z_ref, delta_ref,
+                       do_ref, x_hbm,
+                       dadst_ref, dasrc_ref, dxw_ref, xbuf, sem, dad):
+            nWp = pl.num_programs(1)
+            w = pl.program_id(1)
+            slot = _pipeline_bf(x_hbm, xbuf, sem, W_CH_B, B)
+            rv = _tail_valid(w, W_CH_B)
+            mk = mask_ref[0].astype(jnp.float32)
+            H = adst_ref.shape[-1]
+            C = xbuf.shape[-1] // H
+
+            @pl.when(w == 0)
+            def _():
+                dad[...] = jnp.zeros(dad.shape, dad.dtype)
+
+            for b in range(B):
+                xw = xbuf[slot, b] * rv
+                for h in range(H):
+                    ad_col = adst_ref[0, b][:, h : h + 1]
+                    as_row = asrc_ref[0, b][h : h + 1, :]
+                    zpre = ad_col + as_row
+                    z = jnp.where(zpre >= 0, zpre, slope * zpre)
+                    z = z * mk + (1.0 - mk) * NEG
+                    mrow = m_ref[0, b][:, h : h + 1]
+                    zrow = z_ref[0, b][:, h : h + 1]
+                    p = jnp.exp(z - mrow) / zrow
+                    do_h = do_ref[0, b][:, h * C : (h + 1) * C]
+                    x_h = xw[:, h * C : (h + 1) * C]
+                    dxw_ref[0, b, :, h * C : (h + 1) * C] = (
+                        rv * jax.lax.dot_general(
+                            cast(p), cast(do_h), (((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+                    )
+                    dp = jax.lax.dot_general(
+                        cast(do_h), cast(x_h), (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    dz = p * (dp - delta_ref[0, b][:, h : h + 1])
+                    dz = jnp.where(zpre >= 0, dz, slope * dz)
+                    dad[b, :, h : h + 1] += jnp.sum(dz, axis=1, keepdims=True)
+                    dasrc_ref[0, b, h : h + 1, :] = jnp.sum(
+                        dz, axis=0, keepdims=True
+                    )
+
+            @pl.when(w == nWp - 1)
+            def _():
+                dadst_ref[0] = dad[...]
+
+        return bwd_kernel
+
+    def _in_specs_bf(B, H, W_CH):
+        return [
+            pl.BlockSpec((1, B, BLK, H), lambda i, w: (i, 0, 0, 0)),
+            pl.BlockSpec((1, B, H, W_CH), lambda i, w: (i, 0, 0, w)),
+            pl.BlockSpec((1, BLK, W_CH), lambda i, w: (i, 0, w)),
+        ]
+
+    def _fold_B(B, HC):
+        """Fold the batch axis into grid cells when enabled and the folded
+        DMA buffers + accumulators stay within a conservative VMEM share."""
+        import os
+
+        if B <= 1 or os.environ.get("GNN_TPU_BAND_BFOLD", "0") != "1":
+            return False
+        xbuf_f = 2 * B * W_CH_F * HC * 4      # double-buffered fwd windows
+        xbuf_b = 2 * B * W_CH_B * HC * 4
+        accs = B * BLK * HC * 4               # running accumulator (fwd)
+        return max(xbuf_f, xbuf_b) + accs <= (8 << 20)
+
     def _build_core(mx):
         fwd_kernel = _make_fwd(mx)
         bwd_kernel = _make_bwd(mx)
@@ -738,6 +910,31 @@ def make_band_attention_flash(
         def call_fwd(adst_b, asrcT, x_flat, maskf):
             B, H = adst_b.shape[1], adst_b.shape[-1]
             HC = x_flat.shape[-1]
+            if _fold_B(B, HC):
+                return pl.pallas_call(
+                    _make_fwd_bf(mx, B),
+                    grid=(nB, W_pad // W_CH_F),
+                    in_specs=_in_specs_bf(B, H, W_CH_F)
+                    + [pl.BlockSpec(memory_space=pl.ANY)],
+                    out_specs=[
+                        pl.BlockSpec((1, B, BLK, HC), lambda i, w: (i, 0, 0, 0)),
+                        pl.BlockSpec((1, B, BLK, H), lambda i, w: (i, 0, 0, 0)),
+                        pl.BlockSpec((1, B, BLK, H), lambda i, w: (i, 0, 0, 0)),
+                    ],
+                    out_shape=[
+                        jax.ShapeDtypeStruct((nB, B, BLK, HC), jnp.float32),
+                        jax.ShapeDtypeStruct((nB, B, BLK, H), jnp.float32),
+                        jax.ShapeDtypeStruct((nB, B, BLK, H), jnp.float32),
+                    ],
+                    scratch_shapes=[
+                        pltpu.VMEM((2, B, W_CH_F, HC), jnp.float32),
+                        pltpu.SemaphoreType.DMA((2, B)),
+                        pltpu.VMEM((B, BLK, HC), jnp.float32),
+                        pltpu.VMEM((B, BLK, H), jnp.float32),
+                        pltpu.VMEM((B, BLK, H), jnp.float32),
+                    ],
+                    interpret=interpret,
+                )(adst_b, asrcT, maskf, x_flat)
             return pl.pallas_call(
                 fwd_kernel,
                 grid=(nB, B, W_pad // W_CH_F),
@@ -766,6 +963,34 @@ def make_band_attention_flash(
         def call_bwd(adst_b, asrcT, maskf, m, zd, delta, g, x_flat):
             B, H = adst_b.shape[1], adst_b.shape[-1]
             HC = x_flat.shape[-1]
+            if _fold_B(B, HC):
+                return pl.pallas_call(
+                    _make_bwd_bf(mx, B),
+                    grid=(nB, W_pad // W_CH_B),
+                    in_specs=_in_specs_bf(B, H, W_CH_B) + [
+                        pl.BlockSpec((1, B, BLK, H), lambda i, w: (i, 0, 0, 0)),
+                        pl.BlockSpec((1, B, BLK, H), lambda i, w: (i, 0, 0, 0)),
+                        pl.BlockSpec((1, B, BLK, H), lambda i, w: (i, 0, 0, 0)),
+                        pl.BlockSpec((1, B, BLK, HC), lambda i, w: (i, 0, 0, 0)),
+                        pl.BlockSpec(memory_space=pl.ANY),
+                    ],
+                    out_specs=[
+                        pl.BlockSpec((1, B, BLK, H), lambda i, w: (i, 0, 0, 0)),
+                        pl.BlockSpec((1, B, H, W_CH_B), lambda i, w: (i, 0, 0, w)),
+                        pl.BlockSpec((1, B, W_CH_B, HC), lambda i, w: (i, 0, w, 0)),
+                    ],
+                    out_shape=[
+                        jax.ShapeDtypeStruct((nB, B, BLK, H), jnp.float32),
+                        jax.ShapeDtypeStruct((nB, B, H, W_pad), jnp.float32),
+                        jax.ShapeDtypeStruct((nB, B, W_pad, HC), jnp.float32),
+                    ],
+                    scratch_shapes=[
+                        pltpu.VMEM((2, B, W_CH_B, HC), jnp.float32),
+                        pltpu.SemaphoreType.DMA((2, B)),
+                        pltpu.VMEM((B, BLK, H), jnp.float32),
+                    ],
+                    interpret=interpret,
+                )(adst_b, asrcT, maskf, m, zd, delta, g, x_flat)
             return pl.pallas_call(
                 bwd_kernel,
                 grid=(nB, B, W_pad // W_CH_B),
@@ -946,9 +1171,108 @@ def make_band_spmm_flash(
             preferred_element_type=jnp.float32,
         )
 
+    # ---- batch-folded variant (same GNN_TPU_BAND_BFOLD lever as the flash
+    # attention kernel).  The band chunk is batch-invariant, so folding b
+    # into the cell turns B separate [BLK,W_CH]@[W_CH,C] products into ONE
+    # [BLK,W_CH]@[W_CH,B·C] matmul against lane-concatenated batch windows:
+    # B× fewer grid cells, B× fewer band-slab re-reads, B× wider MXU lanes.
+
+    def _fold_B(B, C):
+        import os
+
+        if B <= 1 or os.environ.get("GNN_TPU_BAND_BFOLD", "0") != "1":
+            return False
+        return 2 * W_CH * B * C * 4 + BLK * B * C * 4 <= (8 << 20)
+
+    def _pipeline_bf(x_hbm, xbuf, sem, B, C):
+        """Chunk DMA over (i, w); each chunk lands batch b's window in the
+        lane-sliced destination xbuf[slot][:, b·C:(b+1)·C]."""
+        nWp = pl.num_programs(1)
+        i, w = pl.program_id(0), pl.program_id(1)
+        t = i * nWp + w
+        slot = jax.lax.rem(t, 2)
+        nxt = jax.lax.rem(t + 1, 2)
+
+        def start(slot_, i_, w_):
+            for b in range(B):
+                pltpu.make_async_copy(
+                    x_hbm.at[b, pl.ds(i_ * BLK + w_ * W_CH, W_CH), :],
+                    xbuf.at[slot_, :, pl.ds(b * C, C)],
+                    sem.at[slot_, b],
+                ).start()
+
+        @pl.when(t == 0)
+        def _():
+            start(slot, i, w)
+
+        @pl.when(t + 1 < pl.num_programs(0) * nWp)
+        def _():
+            t1 = t + 1
+            start(nxt, t1 // nWp, jax.lax.rem(t1, nWp))
+
+        for b in range(B):
+            pltpu.make_async_copy(
+                x_hbm.at[b, pl.ds(i * BLK + w * W_CH, W_CH), :],
+                xbuf.at[slot, :, pl.ds(b * C, C)],
+                sem.at[slot, b],
+            ).wait()
+        return slot
+
+    def _make_fwd_bf(B, C):
+        def fwd_kernel(band_ref, x_hbm, o_ref, xbuf, sem, acc):
+            nWp = pl.num_programs(1)
+            w = pl.program_id(1)
+            slot = _pipeline_bf(x_hbm, xbuf, sem, B, C)
+
+            @pl.when(w == 0)
+            def _():
+                acc[...] = jnp.zeros(acc.shape, acc.dtype)
+
+            acc[...] += jnp.dot(band_ref[0].astype(jnp.float32), xbuf[slot],
+                                preferred_element_type=jnp.float32)
+
+            @pl.when(w == nWp - 1)
+            def _():
+                for b in range(B):
+                    o_ref[0, b] = acc[:, b * C : (b + 1) * C]
+
+        return fwd_kernel
+
+    def _make_bwd_bf(B, C):
+        def bwd_kernel(band_ref, do_ref, dxw_ref):
+            do_cat = jnp.concatenate(
+                [do_ref[0, b] for b in range(B)], axis=1
+            )  # [BLK, B·C]
+            dxw = jax.lax.dot_general(
+                band_ref[0].astype(jnp.float32), do_cat,
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [W_CH, B·C]
+            for b in range(B):
+                dxw_ref[0, b] = dxw[:, b * C : (b + 1) * C]
+
+        return bwd_kernel
+
     def _call_fwd(bandp, x_flat):
         B = x_flat.shape[0]
         C = x_flat.shape[-1]
+        if _fold_B(B, C):
+            return pl.pallas_call(
+                _make_fwd_bf(B, C),
+                grid=(nB, nW),
+                in_specs=[
+                    pl.BlockSpec((1, BLK, W_CH), lambda i, w: (i, 0, w)),
+                    pl.BlockSpec(memory_space=pl.ANY),
+                ],
+                out_specs=pl.BlockSpec((1, B, BLK, C), lambda i, w: (i, 0, 0, 0)),
+                out_shape=jax.ShapeDtypeStruct((nB, B, BLK, C), jnp.float32),
+                scratch_shapes=[
+                    pltpu.VMEM((2, W_CH, B * C), jnp.float32),
+                    pltpu.SemaphoreType.DMA((2, B)),
+                    pltpu.VMEM((BLK, B * C), jnp.float32),
+                ],
+                interpret=interpret,
+            )(bandp, x_flat)
         return pl.pallas_call(
             fwd_kernel,
             grid=(nB, B, nW),
@@ -977,17 +1301,34 @@ def make_band_spmm_flash(
         bandp = res
         B = g.shape[1]
         C = g.shape[-1]
-        dxw = pl.pallas_call(
-            bwd_kernel,
-            grid=(nB, B, nW),
-            in_specs=[
-                pl.BlockSpec((1, BLK, W_CH), lambda i, b, w: (i, 0, w)),
-                pl.BlockSpec((1, 1, BLK, C), lambda i, b, w: (i, b, 0, 0)),
-            ],
-            out_specs=pl.BlockSpec((1, 1, W_CH, C), lambda i, b, w: (i, b, w, 0)),
-            out_shape=jax.ShapeDtypeStruct((nB, B, W_pad, C), jnp.float32),
-            interpret=interpret,
-        )(bandp, g)
+        if _fold_B(B, C):
+            dxw = pl.pallas_call(
+                _make_bwd_bf(B, C),
+                grid=(nB, nW),
+                in_specs=[
+                    pl.BlockSpec((1, BLK, W_CH), lambda i, w: (i, 0, w)),
+                    pl.BlockSpec((1, B, BLK, C), lambda i, w: (i, 0, 0, 0)),
+                ],
+                out_specs=pl.BlockSpec(
+                    (1, B, W_CH, C), lambda i, w: (i, 0, w, 0)
+                ),
+                out_shape=jax.ShapeDtypeStruct((nB, B, W_pad, C), jnp.float32),
+                interpret=interpret,
+            )(bandp, g)
+        else:
+            dxw = pl.pallas_call(
+                bwd_kernel,
+                grid=(nB, B, nW),
+                in_specs=[
+                    pl.BlockSpec((1, BLK, W_CH), lambda i, b, w: (i, 0, w)),
+                    pl.BlockSpec((1, 1, BLK, C), lambda i, b, w: (i, b, 0, 0)),
+                ],
+                out_specs=pl.BlockSpec(
+                    (1, 1, W_CH, C), lambda i, b, w: (i, b, w, 0)
+                ),
+                out_shape=jax.ShapeDtypeStruct((nB, B, W_pad, C), jnp.float32),
+                interpret=interpret,
+            )(bandp, g)
         dx = _fold_windows_blocked(dxw, BLK, n_ext_pad)
         # band weights are graph constants (mean/gcn/cheb/adj bands) — zero
         # cotangent by contract (float0 when the band is an int8 count band)

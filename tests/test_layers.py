@@ -536,6 +536,54 @@ def test_band_attention_flash_matches_dma(rng):
                                        rtol=1e-4, atol=1e-5)
 
 
+def test_band_attention_flash_batch_fold_matches_unfolded(rng, monkeypatch):
+    """The batch-folded v4 grid (GNN_TPU_BAND_BFOLD=1: cells loop b
+    internally, sharing the batch-invariant mask chunk) is bit-equivalent
+    to the per-(i,b,w) grid — same chunking, same accumulation order per
+    (b, h), only the grid iteration changes."""
+    import jax
+    import jax.numpy as jnp
+    from gnn_pressure_estimation_tpu.ops.pallas import band_attention as ba
+
+    for nB, B, BLK, W, H, C in [
+        (3, 2, 16, 200, 2, 64),   # multi-chunk window
+        (2, 4, 16, 40, 2, 64),    # single chunk, wider batch
+        (2, 3, 8, 520, 1, 128),   # W > chunk width, odd batch
+    ]:
+        U = (W - BLK) // 2
+        n_pad, n_ext = nB * BLK, nB * BLK + W - BLK
+        adj = jnp.asarray(rng.random((nB, BLK, W)) < 0.25)
+        adj = adj.at[0, 0, :].set(False)  # one fully-masked padded row
+        valid = np.asarray(adj).any(axis=2).reshape(-1)
+        vmask = jnp.asarray(valid, jnp.float32)[None, :, None, None]
+        a_dst = jnp.asarray(
+            rng.standard_normal((B, n_pad, H)).astype(np.float32))
+        a_src = jnp.asarray(
+            rng.standard_normal((nB, B, W, H)).astype(np.float32))
+        x_ext = jnp.asarray(
+            rng.standard_normal((B, n_ext, H, C)).astype(np.float32))
+
+        monkeypatch.setenv("GNN_TPU_BAND_BFOLD", "0")
+        v4 = ba.make_band_attention_flash(nB, BLK, W, U, 0.2, interpret=True)
+        o_ref = np.asarray(v4(a_dst, a_src, x_ext, adj))
+
+        def loss(f):
+            return lambda args: jnp.sum(jnp.tanh(f(*args, adj)) * vmask)
+
+        g_ref = jax.grad(loss(v4))((a_dst, a_src, x_ext))
+
+        monkeypatch.setenv("GNN_TPU_BAND_BFOLD", "1")
+        vf = ba.make_band_attention_flash(nB, BLK, W, U, 0.2, interpret=True)
+        o_fold = np.asarray(vf(a_dst, a_src, x_ext, adj))
+        assert np.isfinite(o_fold[:, valid]).all()
+        np.testing.assert_allclose(o_fold[:, valid], o_ref[:, valid],
+                                   rtol=1e-6, atol=1e-7)
+        g_fold = jax.grad(loss(vf))((a_dst, a_src, x_ext))
+        for a, b in zip(g_fold, g_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
+
+
 def test_band_spmm_flash_matches_xla(rng):
     """Chunked-DMA band SpMM == band_windows+band_spmm, fwd + x grads
     (band cotangent is zero by contract — graph-constant weights)."""
@@ -574,6 +622,47 @@ def test_band_spmm_flash_matches_xla(rng):
         g_ref = jax.grad(loss_ref)(xb)
         g_ker = jax.grad(loss_ker)(xb)
         np.testing.assert_allclose(np.asarray(g_ker), np.asarray(g_ref),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_band_spmm_flash_batch_fold_matches_unfolded(rng, monkeypatch):
+    """Folded band SpMM (one [BLK,W_CH]@[W_CH,B·C] matmul against lane-
+    concatenated batch windows) == the per-(i,b,w) grid, fwd + x grads,
+    including int8 count bands (the float0 band-cotangent leg)."""
+    import jax
+    import jax.numpy as jnp
+    from gnn_pressure_estimation_tpu.ops.pallas import band_attention as ba
+
+    for nB, B, BLK, W, C, int8 in [
+        (3, 2, 16, 200, 128, False),
+        (2, 4, 16, 40, 128, False),
+        (2, 3, 8, 300, 128, True),   # int8 count band, odd batch
+    ]:
+        U = (W - BLK) // 2
+        n_pad, n_ext = nB * BLK, nB * BLK + W - BLK
+        if int8:
+            band = jnp.asarray(
+                (rng.random((nB, BLK, W)) < 0.3).astype(np.int8))
+        else:
+            band = jnp.asarray(
+                (rng.random((nB, BLK, W)) < 0.3).astype(np.float32)
+                * rng.random((nB, BLK, W)).astype(np.float32))
+        x_ext = jnp.asarray(
+            rng.standard_normal((B, n_ext, C)).astype(np.float32))
+
+        monkeypatch.setenv("GNN_TPU_BAND_BFOLD", "0")
+        s_ref = ba.make_band_spmm_flash(nB, BLK, W, U, interpret=True)
+        o_ref = np.asarray(s_ref(band, x_ext))
+        g_ref = jax.grad(lambda x: jnp.sum(jnp.tanh(s_ref(band, x))))(x_ext)
+
+        monkeypatch.setenv("GNN_TPU_BAND_BFOLD", "1")
+        s_f = ba.make_band_spmm_flash(nB, BLK, W, U, interpret=True)
+        o_f = np.asarray(s_f(band, x_ext))
+        # fp-only deltas: the folded pass reduces one [BLK,W_CH]@[W_CH,B·C]
+        # dot whose blocking differs from B separate [...,C] dots
+        np.testing.assert_allclose(o_f, o_ref, rtol=1e-5, atol=1e-5)
+        g_f = jax.grad(lambda x: jnp.sum(jnp.tanh(s_f(band, x))))(x_ext)
+        np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_ref),
                                    rtol=1e-4, atol=1e-5)
 
 
