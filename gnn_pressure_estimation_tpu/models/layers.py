@@ -59,30 +59,33 @@ def _windows(xb: jax.Array, graph: BatchedGraph) -> jax.Array:
     return bops.band_windows(xb, graph.band_win_start, graph.band_W)
 
 
-def _band_agg(band: jax.Array, x: jax.Array, graph: BatchedGraph) -> jax.Array:
+def _band_agg(kind: str, x: jax.Array, graph: BatchedGraph) -> jax.Array:
     """Banded-dense aggregation: static window slices + batched matmul
-    (ops/banded.py). x is in perm+padded node space. When the chunked-DMA
-    SpMM kernel is attached and the channel width is lane-aligned, the
-    window tensor is never materialized (band weights are graph constants —
-    the kernel's zero band-cotangent is exact here)."""
+    (ops/banded.py). x is in perm+padded node space. ``kind`` names the
+    parameter-free band ("adj" | "mean" | "gcn" | "cheb") — an explicit tag,
+    not the array, so the factored substitution below survives graphs whose
+    leaves were copied (device_put/tree_map) rather than aliased. When the
+    chunked-DMA SpMM kernel is attached and the channel width is
+    lane-aligned, the window tensor is never materialized (band weights are
+    graph constants — the kernel's zero band-cotangent is exact here)."""
+    band = getattr(graph, f"band_{kind}")
     B, n_pad = graph.n_graph, graph.band_n_pad
     xb = x.reshape(B, n_pad, -1)
     if graph.band_spmm_dma is not None and xb.shape[-1] % 128 == 0:
         # Factored substitution: every parameter-free band is
         # rowscale ⊙ int8-counts ⊙ colscale (ops/banded.py BandLayout), so
         # the kernel streams 4× fewer band bytes per grid cell; the scale
-        # passes fuse into neighboring XLA ops.  Identity (`is`) keys are
-        # safe: the graph's band arrays are per-instance constants.
+        # passes fuse into neighboring XLA ops.
         rs = cs = None
         if graph.band_cnt is not None:
-            if band is graph.band_adj:
+            if kind == "adj":
                 band = graph.band_cnt            # values identical
-            elif band is graph.band_mean:
+            elif kind == "mean":
                 band, rs = graph.band_cnt, graph.band_inv_deg
-            elif band is graph.band_gcn and graph.band_cnt_sl is not None:
+            elif kind == "gcn" and graph.band_cnt_sl is not None:
                 band = graph.band_cnt_sl
                 rs = cs = graph.band_dinv_sl
-            elif band is graph.band_cheb:
+            elif kind == "cheb":
                 band, cs = graph.band_cnt, graph.band_dinv
                 rs = -graph.band_dinv
         if cs is not None:
@@ -382,7 +385,7 @@ class SimpleMeanConv(nn.Module):
         if graph.dense and graph.axis_name is None:
             return _dense_agg(graph.mean_mat, x, graph)
         if graph.banded or graph.halo:
-            return _band_agg(graph.band_mean, x, graph)
+            return _band_agg("mean", x, graph)
         if graph.padded:
             nbr = graph.gather_dp(x)                             # [N, D, C]
             agg = jnp.sum(jnp.where(graph.mask_dp[..., None], nbr, 0.0), axis=1)
@@ -411,7 +414,7 @@ class GCNConv(nn.Module):
             if graph.dense and graph.axis_name is None:
                 out = _dense_agg(graph.adj_mat, xp, graph)
             elif graph.banded or graph.halo:
-                out = _band_agg(graph.band_adj, xp, graph)
+                out = _band_agg("adj", xp, graph)
             elif graph.padded:
                 nbr = graph.gather_dp(xp)
                 out = jnp.sum(jnp.where(graph.mask_dp[..., None], nbr, 0.0), axis=1)
@@ -424,7 +427,7 @@ class GCNConv(nn.Module):
         if graph.dense and graph.axis_name is None:
             out = _dense_agg(graph.gcn_mat, xp, graph)
         elif graph.banded or graph.halo:
-            out = _band_agg(graph.band_gcn, xp, graph)
+            out = _band_agg("gcn", xp, graph)
         elif graph.padded:
             out = _padded_weighted_agg(graph.gather_dp_sl, xp, graph.gcn_dp_sl)
         else:
@@ -459,7 +462,7 @@ class GCN2Conv(nn.Module):
         if graph.dense and graph.axis_name is None:
             hx = _dense_agg(graph.gcn_mat, x, graph)
         elif graph.banded or graph.halo:
-            hx = _band_agg(graph.band_gcn, x, graph)
+            hx = _band_agg("gcn", x, graph)
         elif graph.padded:
             hx = _padded_weighted_agg(graph.gather_dp_sl, x, graph.gcn_dp_sl)
         else:
@@ -495,7 +498,7 @@ class ChebConv(nn.Module):
             if graph.dense and graph.axis_name is None:
                 return _dense_agg(graph.cheb_mat, v, graph)
             if graph.banded or graph.halo:
-                return _band_agg(graph.band_cheb, v, graph)
+                return _band_agg("cheb", v, graph)
             if graph.padded:
                 return _padded_weighted_agg(graph.gather_dp, v, graph.cheb_dp)
             return ops.spmm(
@@ -565,7 +568,7 @@ class GINConv(nn.Module):
         if graph.dense and graph.axis_name is None:
             agg = _dense_agg(graph.adj_mat, x, graph)
         elif graph.banded or graph.halo:
-            agg = _band_agg(graph.band_adj, x, graph)
+            agg = _band_agg("adj", x, graph)
         elif graph.padded:
             nbr = graph.gather_dp(x)
             agg = jnp.sum(jnp.where(graph.mask_dp[..., None], nbr, 0.0), axis=1)

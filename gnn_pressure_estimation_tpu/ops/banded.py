@@ -136,6 +136,14 @@ def build_band_layout(template, block: int = 256, lane: int = 128) -> BandLayout
         gcn_b[b, i, j] += dinv_sl[perm[r]] ** 2
         adj_cnt_sl[b, i, j] += 1
 
+    # int8 counts must equal the f32 bands exactly — a multigraph with ≥128
+    # parallel edges between one node pair would wrap int8 and silently
+    # diverge from adj_band on the kernel path, so make the invariant loud
+    assert (adj_cnt.astype(np.float32) == adj_raw).all(), (
+        "parallel-edge count overflows int8 — widen adj_cnt's dtype"
+    )
+    assert int(adj_cnt_sl.max()) <= 127 and int(adj_cnt_sl.min()) >= 0
+
     inv_deg_perm = np.zeros(n_pad, np.float32)
     inv_deg_perm[:n] = np.asarray(inv_deg, np.float32)[perm]
     dinv_sl_perm = np.zeros(n_pad, np.float32)

@@ -221,7 +221,10 @@ class ScenarioExecutor:
                 li = valve_idx(i)
                 vt = v.valve_type.upper()
                 if vt in ("PRV", "PSV", "PBV"):
-                    ns.valve_setting[li] = U.length_to_ft(sv[i], units)
+                    # pressure-valve settings are PRESSURE (psi in US units,
+                    # m of head in SI) — same conversion as the INP path
+                    # (network_state.py build_state; EPANET Setting semantics)
+                    ns.valve_setting[li] = U.pressure_to_ft(sv[i], units)
                 elif vt == "FCV":
                     ns.valve_setting[li] = U.flow_to_cfs(sv[i], units)
                 else:

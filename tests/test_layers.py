@@ -684,10 +684,13 @@ def test_chunk_width_budget():
         assert BLK * _chunk_width(W, BLK) * 4 <= (1 << 20)
 
 
-def test_flash_chunk_widths_split_budgets():
+def test_flash_chunk_widths_split_budgets(monkeypatch):
     """flash_chunk_widths: the forward chunk widens only by exact multiples
     of the backward chunk (both divide W_pad), under a 2 MB forward slab
     budget, and never inflates W_pad beyond the backward-only padding."""
+    # the budget is env-sweepable at call time — pin the default so a
+    # developer's exported GNN_TPU_FLASH_FWD_BUDGET can't fail this test
+    monkeypatch.delenv("GNN_TPU_FLASH_FWD_BUDGET", raising=False)
     from gnn_pressure_estimation_tpu.ops.pallas.band_attention import (
         _chunk_width,
         _round_up,
@@ -779,8 +782,8 @@ def test_band_agg_factored_all_bands(rng):
         (2 * g.band_n_pad, 128)).astype(np.float32))
 
     for name in ("mean", "gcn", "cheb", "adj"):
-        out_fac = _band_agg(getattr(g, f"band_{name}"), x, g)
-        out_f32 = _band_agg(getattr(g_plain, f"band_{name}"), x, g_plain)
+        out_fac = _band_agg(name, x, g)
+        out_f32 = _band_agg(name, x, g_plain)
         np.testing.assert_allclose(
             np.asarray(out_fac), np.asarray(out_f32),
             rtol=1e-5, atol=1e-6, err_msg=name)

@@ -145,3 +145,56 @@ def test_mean_feature_corr_closed_form_matches_corrcoef():
     with np.errstate(invalid="ignore", divide="ignore"):
         ref_n = float(np.nanmean(np.corrcoef(df[:, :800].T)))
     assert abs(narrow - ref_n) < 1e-12
+
+
+def test_executor_prv_setting_converts_psi_in_us_units():
+    """gen_valve_setting on a US-unit network must convert the sampled PRV
+    setting as PRESSURE (psi → ft of head, ÷0.4333), exactly like the INP
+    path (network_state.py build_state).  Regression for a path split: the
+    executor still used length_to_ft (a no-op for US units) after the INP
+    path was fixed, so generated scenarios disagreed with the parsed INP by
+    setting·(1/0.4333 − 1) ft of head."""
+    import configparser
+
+    from gnn_pressure_estimation_tpu.simgen.executor import ScenarioExecutor
+    from gnn_pressure_estimation_tpu.simgen.network_state import build_state
+
+    inp = """
+[JUNCTIONS]
+ N1 80 0
+ N2 80 0
+ N3 60 250
+[RESERVOIRS]
+ R1 300
+[PIPES]
+ P1 R1 N1 500 12 100 0 Open
+ P2 N2 N3 800  8 100 0 Open
+[VALVES]
+ V1 N1 N2 200 PRV 40 0
+[OPTIONS]
+ UNITS GPM
+ HEADLOSS H-W
+[TIMES]
+ DURATION 0
+[END]
+"""
+    wn = parse_inp(inp)
+    cfg = configparser.ConfigParser()
+    cfg.add_section("valve")
+    cfg.set("valve", "setting_prv_lo", "40")
+    cfg.set("valve", "setting_prv_hi", "40")
+    opts = GenOptions(gen_valve_setting=True)
+    specs = tk.build_feature_specs(wn, cfg, opts)
+    assert [s.key.value for s in specs] == ["valve_setting"]
+
+    ex = ScenarioExecutor(wn, specs, None, opts)
+    # sample_params maps the degenerate [40, 40] range to exactly 40 psi
+    params = tk.sample_params(specs, 1, np.random.default_rng(0))
+    np.testing.assert_allclose(params, [[40.0]])
+    ns = ex.apply_tokens(params[0])
+    li = list(wn.link_names).index("V1")
+    expected_ft = U.pressure_to_ft(40.0, ns.units)
+    assert abs(expected_ft - 40.0 / 0.4333) < 1e-3  # US: psi → ft
+    assert abs(ns.valve_setting[li] - expected_ft) < 1e-9
+    # and it matches what the same INP parses to (the fixed path)
+    assert abs(build_state(wn).valve_setting[li] - expected_ft) < 1e-9
